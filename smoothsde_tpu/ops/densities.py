@@ -1,0 +1,145 @@
+"""Closed-form SDE transition log-densities, vectorized over time steps.
+
+TPU-native replacement for the reference's sequential AD-taped loop
+(/root/reference/src/nllk/nllk_sde.hpp:77-84 calling tr_dens,
+/root/reference/src/nllk/tr_dens.hpp:18-76). The per-step transition
+density sum is an embarrassingly parallel map-reduce: all steps are
+evaluated at once on the VPU and reduced; no scan is needed.
+
+Conventions (identical to the reference):
+  - the step from observation i-1 to i uses the parameter row i-1 and
+    dt = t_i - t_{i-1} (nllk_sde.hpp:80-81);
+  - steps that cross track (ID) boundaries contribute nothing
+    (nllk_sde.hpp:79);
+  - a dimension with a missing (NaN) start or end value contributes
+    nothing (tr_dens.hpp:31);
+  - `par` rows are on the WORKING (linear predictor) scale; inverse links
+    are applied inside the density, as in tr_dens.hpp.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from smoothsde_tpu.ops.besseli import log_besselI
+
+_LOG_2PI = 1.8378770664093453
+
+
+def _norm_logpdf(x, mean, sd):
+    z = (x - mean) / sd
+    return -0.5 * (_LOG_2PI + z * z) - jnp.log(sd)
+
+
+def _t_logpdf(x, df):
+    """Standard Student-t log-density (matches TMB's dt)."""
+    from jax.scipy.special import gammaln
+
+    return (
+        gammaln((df + 1.0) / 2.0)
+        - gammaln(df / 2.0)
+        - 0.5 * jnp.log(df * jnp.pi)
+        - (df + 1.0) / 2.0 * jnp.log1p(x * x / df)
+    )
+
+
+def bm_logdens(Z1, Z0, dt, par, other_data=None):
+    """BM: dZ = mu(t) dt + sigma(t) dW. par = (mu_1..mu_d, log sigma).
+
+    Reference: tr_dens.hpp:32-37.
+    Shapes: Z1, Z0 (n, d); dt (n,); par (n, d+1). Returns (n, d).
+    """
+    n_dim = Z1.shape[-1]
+    mu = par[..., :n_dim]
+    sd = jnp.exp(par[..., n_dim : n_dim + 1]) * jnp.sqrt(dt)[..., None]
+    mean = Z0 + mu * dt[..., None]
+    return _norm_logpdf(Z1, mean, sd)
+
+
+def bm_t_logdens(Z1, Z0, dt, par, other_data):
+    """BM with t-distributed increments (1-d). par = (mu, log sigma).
+
+    Reference: tr_dens.hpp:38-44; df passed via other_data (R/sde.R:539-541).
+    """
+    df = other_data["df"]
+    mean = par[..., 0:1] * dt[..., None]
+    sd = jnp.exp(par[..., 1:2]) * jnp.sqrt(dt)[..., None]
+    scale = sd / jnp.sqrt(df / (df - 2.0))
+    z = (Z1 - Z0 - mean) / scale
+    return _t_logpdf(z, df) - jnp.log(scale)
+
+
+def ou_logdens(Z1, Z0, dt, par, other_data=None):
+    """OU: dZ = 1/tau (mu - Z) dt + sqrt(2 kappa / tau) dW.
+
+    par = (mu_1..mu_d, log tau, log kappa). Reference: tr_dens.hpp:45-52.
+    """
+    n_dim = Z1.shape[-1]
+    mu = par[..., :n_dim]
+    tau = jnp.exp(par[..., n_dim : n_dim + 1])
+    kappa = jnp.exp(par[..., n_dim + 1 : n_dim + 2])
+    decay = jnp.exp(-dt[..., None] / tau)
+    mean = mu + decay * (Z0 - mu)
+    sd = jnp.sqrt(kappa * (1.0 - decay * decay))
+    return _norm_logpdf(Z1, mean, sd)
+
+
+def cir_logdens(Z1, Z0, dt, par, other_data=None):
+    """CIR: dZ = beta (mu - Z) dt + sigma sqrt(Z) dW.
+
+    par = (log mu_1..log mu_d, log beta, log sigma): noncentral-chi^2
+    transition evaluated via stable log I_q. Reference: tr_dens.hpp:53-67.
+    """
+    n_dim = Z1.shape[-1]
+    mu = jnp.exp(par[..., :n_dim])
+    beta = jnp.exp(par[..., n_dim : n_dim + 1])
+    sigma = jnp.exp(par[..., n_dim + 1 : n_dim + 2])
+    ebd = jnp.exp(-beta * dt[..., None])
+    c = 2.0 * beta / ((1.0 - ebd) * sigma * sigma)
+    q = 2.0 * beta * mu / (sigma * sigma) - 1.0
+    u = c * Z0 * ebd
+    v = c * Z1
+    return (
+        jnp.log(c)
+        - u
+        - v
+        + q / 2.0 * (jnp.log(v) - jnp.log(u))
+        + log_besselI(2.0 * jnp.sqrt(u * v), q)
+    )
+
+
+CLOSED_FORM_LOGDENS = {
+    "BM": bm_logdens,
+    "BM_t": bm_t_logdens,
+    "OU": ou_logdens,
+    "CIR": cir_logdens,
+}
+
+
+def closed_form_loglik(type, obs, times, ids, par_mat, other_data=None):
+    """Total log-likelihood for a closed-form transition-density model.
+
+    Args:
+      type: one of "BM", "BM_t", "OU", "CIR".
+      obs: (n, n_dim) observations, NaN marks missing values.
+      times: (n,) observation times.
+      ids: (n,) integer track labels (consecutive equal values = one track).
+      par_mat: (n, n_par) working-scale parameters (linear predictor rows).
+      other_data: dict of model extras (e.g. {"df": ...} for BM_t).
+
+    Vectorized equivalent of the loop at nllk_sde.hpp:77-84.
+    """
+    logdens = CLOSED_FORM_LOGDENS[type]
+    Z0, Z1 = obs[:-1], obs[1:]
+    dt = times[1:] - times[:-1]
+    par = par_mat[:-1]
+    same_id = (ids[1:] == ids[:-1])[:, None]
+    mask = same_id & jnp.isfinite(Z0) & jnp.isfinite(Z1)
+
+    # Sanitize inputs so masked-out entries cannot produce NaN gradients.
+    Z0s = jnp.where(mask, Z0, 1.0)
+    Z1s = jnp.where(mask, Z1, 1.0)
+    dts = jnp.where(same_id[:, 0], dt, 1.0)
+
+    contrib = logdens(Z1s, Z0s, dts, par, other_data)
+    return jnp.sum(jnp.where(mask, contrib, 0.0))

@@ -1,0 +1,283 @@
+"""Linear-Gaussian Kalman filtering: sequential scan and parallel
+(associative-scan) forms.
+
+TPU-native replacement for the reference's four near-identical sequential
+C++ Kalman loops (/root/reference/src/nllk/nllk_ctcrw.hpp:195-247,
+nllk_bm_ssm.hpp:127-175, nllk_ou_ssm.hpp:163-213,
+nllk_e_seal_ssm.hpp:163-207). One generic filter parameterized by
+per-step system matrices replaces all of them; model-specific step
+builders live in smoothsde_tpu/models/ssm.py.
+
+Filter semantics (identical to the reference loops):
+  - the carry is the PREDICTED state (a, P) for the current observation;
+  - at a track start (`reset`), the carry is re-initialized to (a0, P0)
+    and the observation contributes no likelihood;
+  - at a missing observation (`valid == False`), predict-only:
+    a <- T a + b, P <- T P T' + Q;
+  - otherwise: u = y - Z a, F = Z P Z' + H,
+    llk += -(log det F + u' F^-1 u)/2,  K = T P Z' F^-1,
+    a <- T a + K u + b, P <- T P (T - K Z)' + Q,
+    with a predict-only fallback when det F <= 0 (the reference's guard,
+    nllk_ctcrw.hpp:226-229);
+  - (T_i, b_i, Q_i) propagate from observation i to i+1, i.e. they are
+    built from parameter row i and dt_i = t_{i+1} - t_i.
+
+The parallel form follows the associative filtering-element formulation
+of Särkkä & García-Fernández (temporal parallelization of Bayesian
+smoothers; see also PAPERS.md), extended with per-step drift, missing
+observations, and in-scan per-track resets (reset elements are absorbing
+under composition). Log-depth over the step axis via
+jax.lax.associative_scan; likelihood terms are then recovered with one
+embarrassingly parallel elementwise pass.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class KalmanSteps(NamedTuple):
+    """Stacked per-step system matrices for one sequence of length n.
+
+    Shapes: s = state dim, m = observation dim.
+      T:     (n, s, s) transition, propagates obs i -> i+1
+      b:     (n, s)    drift added during propagation
+      Q:     (n, s, s) process noise
+      Z:     (n, m, s) observation matrix
+      H:     (n, m, m) observation noise covariance
+      y:     (n, m)    observations (sanitized; see `valid`)
+      a0:    (n, s)    initial state mean, used where reset is True
+      P0:    (n, s, s) initial state covariance, used where reset is True
+      reset: (n,) bool track starts (first element must be True)
+      valid: (n,) bool observation present
+    """
+
+    T: jax.Array
+    b: jax.Array
+    Q: jax.Array
+    Z: jax.Array
+    H: jax.Array
+    y: jax.Array
+    a0: jax.Array
+    P0: jax.Array
+    reset: jax.Array
+    valid: jax.Array
+
+
+def _sym(M):
+    return 0.5 * (M + jnp.swapaxes(M, -1, -2))
+
+
+def kalman_loglik_sequential(steps: KalmanSteps, with_states: bool = False):
+    """Sequential lax.scan filter. Returns (llk, aest_all or None).
+
+    aest_all mirrors the reference's REPORT(aest_all)
+    (nllk_ctcrw.hpp:249): row i holds the state estimate after
+    processing observation i (the prediction for i+1, or a0 at resets).
+    """
+    s = steps.T.shape[-1]
+    eye = jnp.eye(s, dtype=steps.T.dtype)
+
+    def step(carry, x):
+        a, P = carry
+        (T, b, Q, Z, H, y, a0, P0, reset, valid) = x
+
+        # Predicted moments for this observation (reset overrides).
+        a_pred = jnp.where(reset, a0, a)
+        P_pred = jnp.where(reset, P0, P)
+
+        u = y - Z @ a_pred
+        F = Z @ P_pred @ Z.T + H
+        sign, logdetF = jnp.linalg.slogdet(F)
+        ok = valid & (~reset) & (sign > 0) & jnp.isfinite(logdetF)
+
+        F_safe = jnp.where(ok, F, jnp.eye(F.shape[-1], dtype=F.dtype))
+        Finv_u = jnp.linalg.solve(F_safe, u)
+        llk_i = jnp.where(ok, -0.5 * (logdetF + u @ Finv_u), 0.0)
+
+        # Gain and measurement-updated state (only when ok).
+        PZt = P_pred @ Z.T
+        K_gain = jnp.linalg.solve(F_safe, PZt.T).T  # P Z' F^-1
+        a_filt = jnp.where(ok, a_pred + K_gain @ u, a_pred)
+        IKZ = eye - K_gain @ Z
+        P_filt = jnp.where(ok, IKZ @ P_pred, P_pred)
+
+        # Propagate to the next observation.
+        a_next = T @ a_filt + b
+        P_next = _sym(T @ P_filt @ T.T + Q)
+
+        emit = jnp.where(reset, a0, a_next)
+        return (a_next, P_next), (llk_i, emit if with_states else 0.0)
+
+    init = (steps.a0[0], steps.P0[0])
+    (_, _), (llks, states) = jax.lax.scan(step, init, steps)
+    llk = jnp.sum(llks)
+    return (llk, states) if with_states else (llk, None)
+
+
+# ---------------------------------------------------------------------------
+# Parallel (associative scan) filter
+# ---------------------------------------------------------------------------
+
+
+class _Element(NamedTuple):
+    """Associative filtering element (A, b, C, eta, J)."""
+
+    A: jax.Array
+    b: jax.Array
+    C: jax.Array
+    eta: jax.Array
+    J: jax.Array
+
+
+def _combine(e1: _Element, e2: _Element) -> _Element:
+    """Composition e2 after e1 (both batched on leading axes)."""
+    s = e1.A.shape[-1]
+    eye = jnp.eye(s, dtype=e1.A.dtype)
+    # M = (I + C1 J2)^-1 ; N = (I + J2 C1)^-1 = M^T when C,J symmetric
+    C1J2 = e1.C @ e2.J
+    M = jnp.linalg.solve(eye + C1J2, eye)
+    A2M = e2.A @ M
+    A = A2M @ e1.A
+    b = A2M @ (e1.b[..., None] + e1.C @ e2.eta[..., None])[..., 0] + e2.b
+    C = _sym(A2M @ e1.C @ jnp.swapaxes(e2.A, -1, -2) + e2.C)
+    Nt = jnp.swapaxes(M, -1, -2)  # (I + J2 C1)^-1
+    A1tN = jnp.swapaxes(e1.A, -1, -2) @ Nt
+    eta = (A1tN @ (e2.eta[..., None] - e2.J @ e1.b[..., None]))[..., 0] + e1.eta
+    J = _sym(A1tN @ e2.J @ e1.A + e1.J)
+    return _Element(A, b, C, eta, J)
+
+
+def _build_elements(steps: KalmanSteps) -> _Element:
+    """Vectorized construction of per-step filtering elements.
+
+    The element at index i composes the propagation from i-1 to i
+    (identity when i-1 is a reset or i itself is a reset) with the
+    measurement update at i (skipped when invalid or reset).
+    """
+    n, s = steps.b.shape
+    eye = jnp.eye(s, dtype=steps.T.dtype)
+
+    # Transition entering step i comes from row i-1.
+    prev_reset = jnp.concatenate([jnp.ones((1,), bool), steps.reset[:-1]])
+    Ft = jnp.where(
+        prev_reset[:, None, None],
+        eye,
+        jnp.concatenate([eye[None], steps.T[:-1]], axis=0),
+    )
+    ct = jnp.where(
+        prev_reset[:, None],
+        0.0,
+        jnp.concatenate([jnp.zeros((1, s), steps.b.dtype), steps.b[:-1]], axis=0),
+    )
+    Qt = jnp.where(
+        prev_reset[:, None, None],
+        0.0,
+        jnp.concatenate([jnp.zeros((1, s, s), steps.Q.dtype), steps.Q[:-1]], axis=0),
+    )
+
+    Z, H, y = steps.Z, steps.H, steps.y
+    m = Z.shape[1]
+    update = steps.valid & (~steps.reset)
+
+    # Measurement-update element pieces: S = Z Q Z' + H must be PD where
+    # an update happens; sanitize elsewhere.
+    S = Z @ Qt @ jnp.swapaxes(Z, 1, 2) + H
+    S_safe = jnp.where(update[:, None, None], S, jnp.eye(m, dtype=S.dtype))
+    ZtSinv = jnp.swapaxes(jnp.linalg.solve(S_safe, Z), 1, 2)  # Z' S^-1
+    K = Qt @ ZtSinv  # (n, s, m)
+    resid = (y - (Z @ ct[..., None])[..., 0])[..., None]  # (n, m, 1)
+
+    IKZ = eye - K @ Z
+    A_upd = IKZ @ Ft
+    b_upd = ct + (K @ resid)[..., 0]
+    C_upd = _sym(IKZ @ Qt)
+    FtZtSinv = jnp.swapaxes(Ft, 1, 2) @ ZtSinv
+    eta_upd = (FtZtSinv @ resid)[..., 0]
+    J_upd = _sym(FtZtSinv @ Z @ Ft)
+
+    # Three cases per step: reset / propagate-only / propagate+update.
+    is_reset = steps.reset
+    A = jnp.where(
+        is_reset[:, None, None],
+        0.0,
+        jnp.where(update[:, None, None], A_upd, Ft),
+    )
+    b = jnp.where(
+        is_reset[:, None],
+        steps.a0,
+        jnp.where(update[:, None], b_upd, ct),
+    )
+    C = jnp.where(
+        is_reset[:, None, None],
+        steps.P0,
+        jnp.where(update[:, None, None], C_upd, Qt),
+    )
+    eta = jnp.where(update[:, None], eta_upd, 0.0)
+    J = jnp.where(update[:, None, None], J_upd, 0.0)
+    return _Element(A, b, C, eta, J)
+
+
+def kalman_filter_parallel(steps: KalmanSteps):
+    """Log-depth parallel Kalman filter.
+
+    Returns (llk, filtered_means (n, s), filtered_covs (n, s, s)).
+    Filtered moments are E[x_i | y_{<=i}] within each track, matching the
+    sequential filter's measurement-updated states.
+    """
+    elems = _build_elements(steps)
+    scanned = jax.lax.associative_scan(_combine, elems, axis=0)
+    m_f, P_f = scanned.b, scanned.C
+
+    # Elementwise recovery of the predictive likelihood terms.
+    n, s = steps.b.shape
+    eye = jnp.eye(s, dtype=steps.T.dtype)
+    prev_reset = jnp.concatenate([jnp.ones((1,), bool), steps.reset[:-1]])
+    Ft = jnp.where(
+        prev_reset[:, None, None],
+        eye,
+        jnp.concatenate([eye[None], steps.T[:-1]], axis=0),
+    )
+    ct = jnp.where(
+        prev_reset[:, None],
+        0.0,
+        jnp.concatenate([jnp.zeros((1, s), steps.b.dtype), steps.b[:-1]], axis=0),
+    )
+    Qt = jnp.where(
+        prev_reset[:, None, None],
+        0.0,
+        jnp.concatenate([jnp.zeros((1, s, s), steps.Q.dtype), steps.Q[:-1]], axis=0),
+    )
+    m_prev = jnp.concatenate([steps.a0[:1], m_f[:-1]], axis=0)
+    P_prev = jnp.concatenate([steps.P0[:1], P_f[:-1]], axis=0)
+    a_pred = jnp.where(
+        steps.reset[:, None], steps.a0, (Ft @ m_prev[..., None])[..., 0] + ct
+    )
+    P_pred = jnp.where(
+        steps.reset[:, None, None],
+        steps.P0,
+        Ft @ P_prev @ jnp.swapaxes(Ft, 1, 2) + Qt,
+    )
+
+    Z, H = steps.Z, steps.H
+    u = steps.y - (Z @ a_pred[..., None])[..., 0]
+    F = Z @ P_pred @ jnp.swapaxes(Z, 1, 2) + H
+    update = steps.valid & (~steps.reset)
+    m = Z.shape[1]
+    F_safe = jnp.where(update[:, None, None], F, jnp.eye(m, dtype=F.dtype))
+    sign, logdetF = jnp.linalg.slogdet(F_safe)
+    Finv_u = jnp.linalg.solve(F_safe, u[..., None])[..., 0]
+    llk_terms = jnp.where(
+        update, -0.5 * (logdetF + jnp.sum(u * Finv_u, axis=-1)), 0.0
+    )
+    return jnp.sum(llk_terms), m_f, P_f
+
+
+def filtered_to_reported_states(steps: KalmanSteps, m_f: jax.Array):
+    """Convert filtered means to the reference's aest_all convention
+    (propagated one step forward; a0 at resets), nllk_ctcrw.hpp:230-246."""
+    prop = (steps.T @ m_f[..., None])[..., 0] + steps.b
+    return jnp.where(steps.reset[:, None], steps.a0, prop)
