@@ -1,0 +1,156 @@
+"""Mini formula language: R/mgcv-style strings -> term lists.
+
+Supports the formula surface exercised by the reference's tests and
+examples (/root/reference/tests/testthat/test_sde.R:7,60-61,
+inst/example.R:19-20, inst/driver.R:63-64, vignettes/smoothSDE.rmd:285,
+477-478):
+
+    "~1"
+    "~x"                                linear term
+    "~state"                            factor term (dummy-coded)
+    "~s(x1, k=5, bs='ts') + x2"         smooth + linear
+    "~s(ID, bs='re')"                   iid random effect
+    "~s(x2, by=x3)"                     by-variable smooth
+    "~sin(2*pi*time/24) + x"            arbitrary numpy expressions
+
+Terms are split on top-level '+'; each is either "1"/"0", an s(...) call
+(parsed with the Python ast module), or an expression evaluated against
+the data columns with numpy semantics (pi available, matching
+R/utility.R:49-51).
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class SmoothTerm:
+    """One s(...) smooth specification."""
+
+    var: str
+    k: int = -1  # -1 = basis default
+    bs: str = "tp"
+    by: Optional[str] = None
+    m: int = 2  # penalty order (tp)
+    label_override: Optional[str] = None
+
+    @property
+    def label(self) -> str:
+        if self.label_override:
+            return self.label_override
+        return f"s({self.var})"
+
+
+@dataclasses.dataclass(frozen=True)
+class LinearTerm:
+    """A parametric term: a column name or a numpy expression string."""
+
+    expr: str
+
+    @property
+    def label(self) -> str:
+        return self.expr
+
+
+@dataclasses.dataclass(frozen=True)
+class Formula:
+    intercept: bool
+    linear_terms: tuple
+    smooth_terms: tuple
+    source: str
+
+    def variables(self) -> list:
+        """All column names referenced (for covariate grids)."""
+        out = []
+        for t in self.linear_terms:
+            tree = ast.parse(t.expr, mode="eval")
+            for node in ast.walk(tree):
+                if isinstance(node, ast.Name) and node.id not in ("pi",):
+                    out.append(node.id)
+        for s in self.smooth_terms:
+            out.append(s.var)
+            if s.by is not None:
+                out.append(s.by)
+        seen, uniq = set(), []
+        for v in out:
+            if v not in seen:
+                seen.add(v)
+                uniq.append(v)
+        return uniq
+
+
+def _split_top_level(s: str, sep: str = "+") -> list:
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _parse_smooth(term: str) -> SmoothTerm:
+    tree = ast.parse(term, mode="eval").body
+    if not (isinstance(tree, ast.Call) and getattr(tree.func, "id", None) == "s"):
+        raise ValueError(f"not a smooth term: {term!r}")
+    if len(tree.args) != 1 or not isinstance(tree.args[0], ast.Name):
+        raise ValueError(
+            f"s() takes exactly one covariate name (got {term!r}); "
+            "multi-dimensional smooths are not supported yet"
+        )
+    var = tree.args[0].id
+    kw = {}
+    for k in tree.keywords:
+        if isinstance(k.value, ast.Constant):
+            kw[k.arg] = k.value.value
+        elif isinstance(k.value, ast.Name):
+            kw[k.arg] = k.value.id  # e.g. by=x3 (bare name)
+        else:
+            raise ValueError(f"unsupported s() argument {k.arg!r} in {term!r}")
+    bs = kw.get("bs", "tp")
+    if bs not in ("tp", "ts", "cr", "cs", "re", "bs"):
+        raise ValueError(f"unsupported basis bs={bs!r} in {term!r}")
+    return SmoothTerm(
+        var=var,
+        k=int(kw.get("k", -1)),
+        bs=bs,
+        by=kw.get("by"),
+        m=int(kw.get("m", 2)),
+    )
+
+
+def parse_formula(formula: str) -> Formula:
+    """Parse "~ ..." (or the RHS alone) into a Formula."""
+    src = formula.strip()
+    rhs = src
+    if "~" in rhs:
+        rhs = rhs.split("~", 1)[1].strip()
+    # Normalize R-style quoting: bs="ts" works via ast already.
+    terms = _split_top_level(rhs)
+    intercept = True
+    linear, smooths = [], []
+    for term in terms:
+        if term == "1":
+            continue
+        if term in ("0", "-1"):
+            intercept = False
+            continue
+        if term.startswith("s(") or term.startswith("s ("):
+            smooths.append(_parse_smooth(term))
+        else:
+            linear.append(LinearTerm(term))
+    return Formula(
+        intercept=intercept,
+        linear_terms=tuple(linear),
+        smooth_terms=tuple(smooths),
+        source=src if src.startswith("~") else "~" + rhs,
+    )

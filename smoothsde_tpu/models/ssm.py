@@ -1,0 +1,259 @@
+"""Per-step system-matrix builders for the state-space (Kalman) models.
+
+Each builder maps working-scale parameter rows to stacked per-step
+(T, b, Q, Z, H) arrays consumed by the generic filter in
+smoothsde_tpu/ops/kalman.py. This replaces the reference's
+makeT/makeQ/makeB/makeH template families:
+  CTCRW:     /root/reference/src/nllk/nllk_ctcrw.hpp:26-91,150-156
+  BM_SSM:    /root/reference/src/nllk/nllk_bm_ssm.hpp:11-36,88-90
+  OU_SSM:    /root/reference/src/nllk/nllk_ou_ssm.hpp:11-69,121-124
+  ESEAL_SSM: /root/reference/src/nllk/nllk_e_seal_ssm.hpp:11-59,135-137
+
+Conventions shared with the reference:
+  - dt_i = t_{i+1} - t_i with dt_{n-1} = 1 (dummy);
+  - (T_i, b_i, Q_i) propagate from observation i to i+1 and are built
+    from the parameter row i;
+  - a0 per track: first observation (SSMs), (x1, 0, y1, 0, ...) for
+    CTCRW (R/sde.R:547-580), (1, first dep_fat) for ESEAL (R/sde.R:602);
+  - P0 defaults: 10*I (SSMs, R/sde.R:554), diag(1, 10) per dim for
+    CTCRW (R/sde.R:584), diag(0, 10) for ESEAL (R/sde.R:603);
+  - a missing observation is a row whose FIRST response is NaN
+    (nllk_ctcrw.hpp:214, nllk_bm_ssm.hpp:141).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from smoothsde_tpu.ops.kalman import KalmanSteps
+
+
+def _dt_from_times(times):
+    dt = jnp.diff(times)
+    return jnp.concatenate([dt, jnp.ones((1,), dt.dtype)])
+
+
+def _reset_mask(ids):
+    ids = jnp.asarray(ids)
+    return jnp.concatenate(
+        [jnp.ones((1,), bool), ids[1:] != ids[:-1]]
+    )
+
+
+def _scatter_track_starts(values_at_starts, reset):
+    """Place per-track initial states at reset rows (zeros elsewhere)."""
+    return jnp.where(reset[:, None], values_at_starts, 0.0)
+
+
+def _common(obs, times, ids):
+    dt = _dt_from_times(jnp.asarray(times))
+    reset = _reset_mask(ids)
+    valid = jnp.isfinite(jnp.asarray(obs)[:, 0])
+    y = jnp.nan_to_num(jnp.asarray(obs), nan=0.0)
+    return dt, reset, valid, y
+
+
+def _obs_noise(n, n_dim, sigma_obs, H_array, dtype):
+    """Per-step observation covariance: user-supplied H_array
+    (R/sde.R:563-568) or sigma_obs^2 * I."""
+    if H_array is not None:
+        return jnp.asarray(H_array, dtype=dtype)
+    eye = jnp.eye(n_dim, dtype=dtype)
+    return (sigma_obs**2) * jnp.broadcast_to(eye, (n, n_dim, n_dim))
+
+
+def bm_ssm_steps(
+    par_mat, obs, times, ids, sigma_obs, H_array=None, P0=None
+) -> KalmanSteps:
+    """BM + iid Gaussian measurement error. State = latent position.
+
+    T = I, b = mu*dt, Q = sigma^2 dt I (nllk_bm_ssm.hpp:29-36,138-139).
+    """
+    n, n_dim = obs.shape
+    dt, reset, valid, y = _common(obs, times, ids)
+    dtype = par_mat.dtype
+    mu = par_mat[:, :n_dim]
+    sigma = jnp.exp(par_mat[:, n_dim])
+
+    eye = jnp.eye(n_dim, dtype=dtype)
+    T = jnp.broadcast_to(eye, (n, n_dim, n_dim))
+    b = mu * dt[:, None]
+    Q = (sigma**2 * dt)[:, None, None] * eye
+    Z = jnp.broadcast_to(eye, (n, n_dim, n_dim))
+    H = _obs_noise(n, n_dim, sigma_obs, H_array, dtype)
+
+    # a0 = first obs of each track (R/sde.R:547-550); NaN-safe.
+    a0 = _scatter_track_starts(y, reset)
+    if P0 is None:
+        P0 = 10.0 * eye  # R/sde.R:554
+    P0 = jnp.broadcast_to(jnp.asarray(P0, dtype), (n, n_dim, n_dim))
+    return KalmanSteps(T, b, Q, Z, H, y, a0, P0, reset, valid)
+
+
+def ou_ssm_steps(
+    par_mat, obs, times, ids, sigma_obs, H_array=None, P0=None
+) -> KalmanSteps:
+    """OU + measurement error. T = e^{-dt/tau} I, b = (1-e^{-dt/tau}) mu,
+    Q = kappa (1 - e^{-2 dt/tau}) I (nllk_ou_ssm.hpp:31-69,174-177)."""
+    n, n_dim = obs.shape
+    dt, reset, valid, y = _common(obs, times, ids)
+    dtype = par_mat.dtype
+    mu = par_mat[:, :n_dim]
+    tau = jnp.exp(par_mat[:, n_dim])
+    kappa = jnp.exp(par_mat[:, n_dim + 1])
+
+    decay = jnp.exp(-dt / tau)
+    eye = jnp.eye(n_dim, dtype=dtype)
+    T = decay[:, None, None] * eye
+    b = (1.0 - decay)[:, None] * mu
+    Q = (kappa * (1.0 - decay**2))[:, None, None] * eye
+    Z = jnp.broadcast_to(eye, (n, n_dim, n_dim))
+    H = _obs_noise(n, n_dim, sigma_obs, H_array, dtype)
+
+    a0 = _scatter_track_starts(y, reset)
+    if P0 is None:
+        P0 = 10.0 * eye
+    P0 = jnp.broadcast_to(jnp.asarray(P0, dtype), (n, n_dim, n_dim))
+    return KalmanSteps(T, b, Q, Z, H, y, a0, P0, reset, valid)
+
+
+def ctcrw_steps(
+    par_mat, obs, times, ids, sigma_obs, H_array=None, P0=None
+) -> KalmanSteps:
+    """CTCRW (integrated OU): state = (position, velocity) per dim.
+
+    Velocity-OU parameters from working scale (nllk_ctcrw.hpp:150-156):
+      beta = 1/tau, sigma = 2 nu / sqrt(pi tau).
+    Per-dim 2x2 blocks (nllk_ctcrw.hpp:46-91):
+      T = [[1, (1-e^{-b dt})/b], [0, e^{-b dt}]]
+      drift = mu * [dt - (1-e^{-b dt})/b, 1-e^{-b dt}]
+      Q = [[s^2/b^2 (dt - 2(1-e^{-b dt})/b + (1-e^{-2 b dt})/(2b)), q01],
+           [q01, s^2 (1-e^{-2 b dt})/(2b)]],
+      q01 = s^2/(2 b^2) (1 - 2 e^{-b dt} + e^{-2 b dt}).
+    State order here is (pos_1, vel_1, pos_2, vel_2, ...), matching the
+    reference layout.
+    """
+    n, n_dim = obs.shape
+    s_dim = 2 * n_dim
+    dt, reset, valid, y = _common(obs, times, ids)
+    dtype = par_mat.dtype
+    mu = par_mat[:, :n_dim]
+    tau = jnp.exp(par_mat[:, n_dim])
+    nu = jnp.exp(par_mat[:, n_dim + 1])
+    beta = 1.0 / tau
+    sigma = 2.0 * nu / jnp.sqrt(jnp.pi * tau)
+
+    e1 = jnp.exp(-beta * dt)
+    e2 = jnp.exp(-2.0 * beta * dt)
+    g = (1.0 - e1) / beta  # integral of e^{-beta u}
+
+    # 2x2 per-dim blocks assembled into block-diagonal (s, s).
+    T2 = jnp.stack(
+        [
+            jnp.stack([jnp.ones_like(e1), g], axis=-1),
+            jnp.stack([jnp.zeros_like(e1), e1], axis=-1),
+        ],
+        axis=-2,
+    )  # (n, 2, 2)
+    sb2 = (sigma / beta) ** 2
+    q00 = sb2 * (dt - 2.0 * g + (1.0 - e2) / (2.0 * beta))
+    q01 = sigma**2 / (2.0 * beta**2) * (1.0 - 2.0 * e1 + e2)
+    q11 = sigma**2 / (2.0 * beta) * (1.0 - e2)
+    Q2 = jnp.stack(
+        [
+            jnp.stack([q00, q01], axis=-1),
+            jnp.stack([q01, q11], axis=-1),
+        ],
+        axis=-2,
+    )  # (n, 2, 2)
+
+    T = jnp.zeros((n, s_dim, s_dim), dtype)
+    Q = jnp.zeros((n, s_dim, s_dim), dtype)
+    for d in range(n_dim):
+        sl = slice(2 * d, 2 * d + 2)
+        T = T.at[:, sl, sl].set(T2)
+        Q = Q.at[:, sl, sl].set(Q2)
+
+    b = jnp.zeros((n, s_dim), dtype)
+    bp = dt - g  # position drift factor (makeB, nllk_ctcrw.hpp:83-91)
+    bv = 1.0 - e1
+    for d in range(n_dim):
+        b = b.at[:, 2 * d].set(mu[:, d] * bp)
+        b = b.at[:, 2 * d + 1].set(mu[:, d] * bv)
+
+    Z = jnp.zeros((n_dim, s_dim), dtype)
+    for d in range(n_dim):
+        Z = Z.at[d, 2 * d].set(1.0)
+    Z = jnp.broadcast_to(Z, (n, n_dim, s_dim))
+    H = _obs_noise(n, n_dim, sigma_obs, H_array, dtype)
+
+    # a0 = (x1, 0, y1, 0, ...) per track (R/sde.R:576-580).
+    a0 = jnp.zeros((n, s_dim), dtype)
+    for d in range(n_dim):
+        a0 = a0.at[:, 2 * d].set(y[:, d])
+    a0 = jnp.where(reset[:, None], a0, 0.0)
+    if P0 is None:
+        P0 = jnp.diag(jnp.tile(jnp.asarray([1.0, 10.0], dtype), n_dim))
+    P0 = jnp.broadcast_to(jnp.asarray(P0, dtype), (n, s_dim, s_dim))
+    return KalmanSteps(T, b, Q, Z, H, y, a0, P0, reset, valid)
+
+
+def eseal_ssm_steps(
+    par_mat, obs, times, ids, log_tau, a1, log_a2, h, R, dep_fat, P0=None
+) -> KalmanSteps:
+    """Elephant-seal body-condition SSM. State = (intercept, lipid mass).
+
+    T = [[1, 0], [mu dt, 1]], Q = diag(0, sigma^2 dt),
+    Z = [a1, a2/R_i], H = tau^2/h_i (nllk_e_seal_ssm.hpp:11-59,170-174).
+    """
+    n = obs.shape[0]
+    dt, reset, valid, y = _common(obs, times, ids)
+    dtype = par_mat.dtype
+    mu = par_mat[:, 0]
+    sigma = jnp.exp(par_mat[:, 1])
+    tau = jnp.exp(log_tau)
+    a2 = jnp.exp(log_a2)
+
+    zero = jnp.zeros_like(mu)
+    one = jnp.ones_like(mu)
+    T = jnp.stack(
+        [
+            jnp.stack([one, zero], axis=-1),
+            jnp.stack([mu * dt, one], axis=-1),
+        ],
+        axis=-2,
+    )
+    Q = jnp.stack(
+        [
+            jnp.stack([zero, zero], axis=-1),
+            jnp.stack([zero, sigma**2 * dt], axis=-1),
+        ],
+        axis=-2,
+    )
+    b = jnp.zeros((n, 2), dtype)
+    R = jnp.asarray(R, dtype)
+    h = jnp.asarray(h, dtype)
+    Z = jnp.stack(
+        [jnp.full((n,), a1, dtype), a2 / R], axis=-1
+    )[:, None, :]  # (n, 1, 2)
+    H = (tau**2 / h)[:, None, None]
+
+    # a0 = (1, track-start dep_fat) (R/sde.R:602).
+    dep = jnp.asarray(dep_fat, dtype)
+    a0 = jnp.where(
+        reset[:, None],
+        jnp.stack([jnp.ones((n,), dtype), dep], axis=-1),
+        0.0,
+    )
+    if P0 is None:
+        P0 = jnp.diag(jnp.asarray([0.0, 10.0], dtype))  # R/sde.R:603
+    P0 = jnp.broadcast_to(jnp.asarray(P0, dtype), (n, 2, 2))
+    return KalmanSteps(T, b, Q, Z, H, y, a0, P0, reset, valid)
+
+
+SSM_STEP_BUILDERS = {
+    "BM_SSM": bm_ssm_steps,
+    "OU_SSM": ou_ssm_steps,
+    "CTCRW": ctcrw_steps,
+    "ESEAL_SSM": eseal_ssm_steps,
+}

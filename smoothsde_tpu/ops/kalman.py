@@ -105,9 +105,14 @@ def kalman_loglik_sequential(steps: KalmanSteps, with_states: bool = False):
         IKZ = eye - K_gain @ Z
         P_filt = jnp.where(ok, IKZ @ P_pred, P_pred)
 
-        # Propagate to the next observation.
-        a_next = T @ a_filt + b
-        P_next = _sym(T @ P_filt @ T.T + Q)
+        # Propagate to the next observation. A reset state is carried
+        # un-propagated: the prediction for the observation after a track
+        # start is exactly (a0, P0) (reference reset branch,
+        # nllk_ctcrw.hpp:196-200).
+        a_prop = T @ a_filt + b
+        P_prop = _sym(T @ P_filt @ T.T + Q)
+        a_next = jnp.where(reset, a_pred, a_prop)
+        P_next = jnp.where(reset, P_pred, P_prop)
 
         emit = jnp.where(reset, a0, a_next)
         return (a_next, P_next), (llk_i, emit if with_states else 0.0)
@@ -142,7 +147,7 @@ def _combine(e1: _Element, e2: _Element) -> _Element:
     M = jnp.linalg.solve(eye + C1J2, eye)
     A2M = e2.A @ M
     A = A2M @ e1.A
-    b = A2M @ (e1.b[..., None] + e1.C @ e2.eta[..., None])[..., 0] + e2.b
+    b = (A2M @ (e1.b[..., None] + e1.C @ e2.eta[..., None]))[..., 0] + e2.b
     C = _sym(A2M @ e1.C @ jnp.swapaxes(e2.A, -1, -2) + e2.C)
     Nt = jnp.swapaxes(M, -1, -2)  # (I + J2 C1)^-1
     A1tN = jnp.swapaxes(e1.A, -1, -2) @ Nt
@@ -274,6 +279,30 @@ def kalman_filter_parallel(steps: KalmanSteps):
         update, -0.5 * (logdetF + jnp.sum(u * Finv_u, axis=-1)), 0.0
     )
     return jnp.sum(llk_terms), m_f, P_f
+
+
+def default_filter_impl() -> str:
+    """Pick the filter implementation for the current default backend.
+
+    The log-depth parallel filter is the TPU path. On the CPU backend,
+    reverse-mode differentiation through jax.lax.associative_scan is
+    affected by an XLA:CPU miscompilation in this environment (jax
+    0.9.0: nondeterministic heap corruption / garbage cotangents,
+    reproduced standalone; TPU is unaffected), so CPU defaults to the
+    sequential scan, whose vjp is solid.
+    """
+    return "parallel" if jax.default_backend() == "tpu" else "sequential"
+
+
+def kalman_loglik(steps: KalmanSteps, impl: str = "auto"):
+    """Filter log-likelihood with backend-appropriate implementation."""
+    if impl == "auto":
+        impl = default_filter_impl()
+    if impl == "sequential":
+        return kalman_loglik_sequential(steps)[0]
+    if impl == "parallel":
+        return kalman_filter_parallel(steps)[0]
+    raise ValueError(f"unknown Kalman impl {impl!r}")
 
 
 def filtered_to_reported_states(steps: KalmanSteps, m_f: jax.Array):

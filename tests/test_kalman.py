@@ -1,0 +1,198 @@
+"""Kalman filter correctness: sequential scan vs brute-force joint
+Gaussian, parallel associative scan vs sequential, and the closed-form
+identity BM_SSM(H -> 0) == closed-form BM."""
+
+import jax.numpy as jnp
+import numpy as np
+from scipy import stats
+
+from smoothsde_tpu.models.ssm import bm_ssm_steps, ctcrw_steps, ou_ssm_steps
+from smoothsde_tpu.ops.densities import closed_form_loglik
+from smoothsde_tpu.ops.kalman import (
+    KalmanSteps,
+    kalman_filter_parallel,
+    kalman_loglik_sequential,
+)
+
+
+def _random_steps(rng, n, s, m, n_tracks=1, nan_rows=()):
+    """Random stable LGSSM with per-step matrices."""
+    T = 0.9 * np.stack([np.linalg.qr(rng.normal(size=(s, s)))[0] for _ in range(n)])
+    b = rng.normal(size=(n, s)) * 0.3
+    Qh = rng.normal(size=(n, s, s)) * 0.3
+    Q = Qh @ np.swapaxes(Qh, 1, 2) + 0.1 * np.eye(s)
+    Z = rng.normal(size=(n, m, s))
+    Hh = rng.normal(size=(n, m, m)) * 0.3
+    H = Hh @ np.swapaxes(Hh, 1, 2) + 0.1 * np.eye(m)
+    y = rng.normal(size=(n, m))
+    a0 = rng.normal(size=(n, s))
+    P0 = np.broadcast_to(2.0 * np.eye(s), (n, s, s)).copy()
+    # n_tracks equal segments
+    bounds = np.linspace(0, n, n_tracks + 1).astype(int)[:-1]
+    reset = np.zeros(n, bool)
+    reset[bounds] = True
+    valid = np.ones(n, bool)
+    for r in nan_rows:
+        valid[r] = False
+    return KalmanSteps(
+        *[jnp.asarray(x) for x in (T, b, Q, Z, H, y, a0, P0)],
+        jnp.asarray(reset),
+        jnp.asarray(valid),
+    )
+
+
+def _brute_force_llk(steps: KalmanSteps):
+    """Exact log-likelihood via the joint Gaussian of all valid
+    observations, assembled per track with dense linear algebra."""
+    T, b, Q, Z, H, y = (np.asarray(a) for a in (steps.T, steps.b, steps.Q, steps.Z, steps.H, steps.y))
+    a0, P0 = np.asarray(steps.a0), np.asarray(steps.P0)
+    reset, valid = np.asarray(steps.reset), np.asarray(steps.valid)
+    n, s = b.shape
+    m = Z.shape[1]
+
+    total = 0.0
+    starts = list(np.where(reset)[0]) + [n]
+    for t0, t1 in zip(starts[:-1], starts[1:]):
+        idx = [i for i in range(t0 + 1, t1)]  # track start contributes nothing
+        if not idx:
+            continue
+        # State prior at idx[0] is N(a0[t0], P0[t0]); transitions from
+        # element convention: x_{i} = T_{i-1} x_{i-1} + b_{i-1} + w.
+        means, covs = {}, {}
+        mean, cov = a0[t0], P0[t0]
+        cross = {}  # cross[i][j] = Cov(x_i, x_j) built forward
+        xs = []
+        state_mean = {idx[0]: mean}
+        state_cov = {(idx[0], idx[0]): cov}
+        for k in range(1, len(idx)):
+            i_prev, i = idx[k - 1], idx[k]
+            Ti, bi, Qi = T[i - 1], b[i - 1], Q[i - 1]
+            state_mean[i] = Ti @ state_mean[i_prev] + bi
+            for j in idx[:k]:
+                state_cov[(i, j)] = Ti @ state_cov[(i_prev, j)]
+                state_cov[(j, i)] = state_cov[(i, j)].T
+            state_cov[(i, i)] = Ti @ state_cov[(i_prev, i_prev)] @ Ti.T + Qi
+        obs_idx = [i for i in idx if valid[i]]
+        if not obs_idx:
+            continue
+        p = len(obs_idx)
+        mu_y = np.concatenate([Z[i] @ state_mean[i] for i in obs_idx])
+        Sig = np.zeros((p * m, p * m))
+        for a_, i in enumerate(obs_idx):
+            for b_, j in enumerate(obs_idx):
+                blk = Z[i] @ state_cov[(i, j)] @ Z[j].T
+                if i == j:
+                    blk = blk + H[i]
+                Sig[a_ * m : (a_ + 1) * m, b_ * m : (b_ + 1) * m] = blk
+        yv = np.concatenate([y[i] for i in obs_idx])
+        total += stats.multivariate_normal.logpdf(yv, mu_y, Sig)
+        # remove the constant term: the filter's llk omits -p*m/2 log(2pi)
+        total += p * m / 2 * np.log(2 * np.pi)
+    return total
+
+
+class TestSequentialFilter:
+    def test_vs_brute_force_single_track(self):
+        rng = np.random.default_rng(0)
+        steps = _random_steps(rng, n=12, s=3, m=2)
+        llk, _ = kalman_loglik_sequential(steps)
+        assert np.isclose(float(llk), _brute_force_llk(steps), rtol=1e-8)
+
+    def test_vs_brute_force_multitrack_with_nans(self):
+        rng = np.random.default_rng(1)
+        steps = _random_steps(rng, n=20, s=2, m=2, n_tracks=3, nan_rows=(5, 13))
+        llk, _ = kalman_loglik_sequential(steps)
+        assert np.isclose(float(llk), _brute_force_llk(steps), rtol=1e-8)
+
+
+class TestParallelFilter:
+    def test_matches_sequential(self):
+        rng = np.random.default_rng(2)
+        steps = _random_steps(rng, n=40, s=3, m=2, n_tracks=4, nan_rows=(7, 21, 22))
+        llk_seq, _ = kalman_loglik_sequential(steps)
+        llk_par, m_f, P_f = kalman_filter_parallel(steps)
+        assert np.isclose(float(llk_seq), float(llk_par), rtol=1e-8)
+
+    def test_filtered_states_match_sequential_emit(self):
+        from smoothsde_tpu.ops.kalman import filtered_to_reported_states
+
+        rng = np.random.default_rng(3)
+        steps = _random_steps(rng, n=25, s=2, m=1, n_tracks=2, nan_rows=(9,))
+        _, states_seq = kalman_loglik_sequential(steps, with_states=True)
+        _, m_f, _ = kalman_filter_parallel(steps)
+        states_par = filtered_to_reported_states(steps, m_f)
+        assert np.allclose(np.asarray(states_seq), np.asarray(states_par), atol=1e-8)
+
+
+class TestModelBuilders:
+    def test_bm_ssm_h_to_zero_equals_closed_form_bm(self):
+        """Kalman nllk of BM_SSM with H -> 0 must equal the closed-form BM
+        nllk when the initial prediction is doctored to the first
+        transition density (SURVEY.md section 4 oracle)."""
+        rng = np.random.default_rng(4)
+        n, d = 30, 2
+        times = np.cumsum(rng.uniform(0.2, 1.0, size=n))
+        ids = np.zeros(n, int)
+        obs = np.cumsum(rng.normal(size=(n, d)) * 0.3, axis=0)
+        mu = rng.normal(size=(n, d)) * 0.5
+        log_sigma = rng.normal(size=n) * 0.2
+        par = np.column_stack([mu, log_sigma])
+
+        llk_cf = float(closed_form_loglik("BM", obs, times, ids, par))
+
+        steps = bm_ssm_steps(
+            jnp.asarray(par), jnp.asarray(obs), jnp.asarray(times), ids,
+            sigma_obs=1e-7,
+        )
+        # Override init: prediction for obs 1 = N(y0 + mu0*dt0, sigma0^2 dt0 I)
+        dt0 = times[1] - times[0]
+        a0 = np.asarray(steps.a0).copy()
+        a0[0] = obs[0] + mu[0] * dt0
+        P0 = np.asarray(steps.P0).copy()
+        P0[0] = np.exp(log_sigma[0]) ** 2 * dt0 * np.eye(d)
+        steps = steps._replace(a0=jnp.asarray(a0), P0=jnp.asarray(P0))
+        llk_kf, _ = kalman_loglik_sequential(steps)
+        # filter omits the -nm/2 log(2pi) constant; closed form includes it
+        n_obs_terms = (n - 1) * d
+        llk_kf = float(llk_kf) - n_obs_terms / 2 * np.log(2 * np.pi)
+        assert np.isclose(llk_kf, llk_cf, rtol=1e-5)
+
+    def test_ctcrw_q_matches_ctcrw_cov_formula(self):
+        """CTCRW process noise vs the (velocity, position) covariance of
+        R/utility.R:188-196 (note the transposed state order there)."""
+        par = jnp.asarray([[0.0, np.log(2.0), np.log(1.5)]])
+        obs = np.array([[0.7]])
+        times = np.array([0.0])
+        steps = ctcrw_steps(
+            jnp.asarray(np.tile(par, (2, 1))),
+            jnp.asarray(np.array([[0.7], [0.9]])),
+            jnp.asarray(np.array([0.0, 0.8])),
+            np.zeros(2, int),
+            sigma_obs=0.1,
+        )
+        tau, nu, dt = 2.0, 1.5, 0.8
+        beta = 1.0 / tau
+        sigma = 2 * nu / np.sqrt(np.pi * tau)
+        v_var = sigma**2 / (2 * beta) * (1 - np.exp(-2 * beta * dt))
+        z_var = (sigma / beta) ** 2 * (
+            dt + (1 - np.exp(-2 * beta * dt)) / (2 * beta)
+            - 2 * (1 - np.exp(-beta * dt)) / beta
+        )
+        cross = sigma**2 / (2 * beta**2) * (
+            1 - 2 * np.exp(-beta * dt) + np.exp(-2 * beta * dt)
+        )
+        Q = np.asarray(steps.Q[0])  # state (pos, vel)
+        assert np.isclose(Q[0, 0], z_var)
+        assert np.isclose(Q[1, 1], v_var)
+        assert np.isclose(Q[0, 1], cross)
+
+    def test_ou_ssm_stationary_variance(self):
+        """With dt -> inf, prediction variance tends to kappa (the OU
+        stationary variance), and T -> 0."""
+        par = jnp.asarray([[1.0, np.log(0.5), np.log(2.0)], [1.0, np.log(0.5), np.log(2.0)]])
+        obs = np.array([[0.0], [0.0]])
+        times = np.array([0.0, 100.0])
+        steps = ou_ssm_steps(par, jnp.asarray(obs), jnp.asarray(times), np.zeros(2, int), sigma_obs=0.1)
+        assert np.isclose(float(steps.Q[0, 0, 0]), 2.0, rtol=1e-6)
+        assert float(steps.T[0, 0, 0]) < 1e-8
+        assert np.isclose(float(steps.b[0, 0]), 1.0, rtol=1e-6)
