@@ -67,8 +67,17 @@ class Formula:
         out = []
         for t in self.linear_terms:
             tree = ast.parse(t.expr, mode="eval")
+            called = {
+                node.func.id
+                for node in ast.walk(tree)
+                if isinstance(node, ast.Call) and isinstance(node.func, ast.Name)
+            }
             for node in ast.walk(tree):
-                if isinstance(node, ast.Name) and node.id not in ("pi",):
+                if (
+                    isinstance(node, ast.Name)
+                    and node.id != "pi"
+                    and node.id not in called
+                ):
                     out.append(node.id)
         for s in self.smooth_terms:
             out.append(s.var)

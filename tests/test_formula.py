@@ -1,0 +1,202 @@
+"""Formula parsing, smooth bases, and design assembly — including the
+reference's shape contract (test_sde.R:53-72)."""
+
+import numpy as np
+import pytest
+
+from smoothsde_tpu.formula.design import ColumnData, build_design
+from smoothsde_tpu.formula.parser import parse_formula
+from smoothsde_tpu.formula.smooths import CRSmooth, RESmooth, TPSmooth, _cr_design
+
+
+class TestParser:
+    def test_basic(self):
+        f = parse_formula("~s(x1, k=5, bs='ts') + x2")
+        assert f.intercept
+        assert len(f.smooth_terms) == 1
+        s = f.smooth_terms[0]
+        assert (s.var, s.k, s.bs) == ("x1", 5, "ts")
+        assert [t.expr for t in f.linear_terms] == ["x2"]
+
+    def test_intercept_only(self):
+        f = parse_formula("~1")
+        assert f.intercept and not f.linear_terms and not f.smooth_terms
+
+    def test_by_and_re(self):
+        f = parse_formula("~s(ID, bs='re') + s(x2, k=5, by=x3)")
+        assert f.smooth_terms[0].bs == "re"
+        assert f.smooth_terms[1].by == "x3"
+
+    def test_expression_term(self):
+        f = parse_formula("~sin(2*pi*time/24) + x")
+        assert f.linear_terms[0].expr == "sin(2*pi*time/24)"
+        assert set(f.variables()) == {"time", "x"}
+
+    def test_double_quoted_bs(self):
+        f = parse_formula('~s(x1, k=5, bs="cs")')
+        assert f.smooth_terms[0].bs == "cs"
+
+
+class TestCRBasis:
+    def test_interpolation_at_knots(self):
+        """cr parameterizes by function values at knots: X(knots) = I."""
+        rng = np.random.default_rng(0)
+        x = rng.uniform(0, 10, 200)
+        sm = CRSmooth("s(x)", x, k=8)
+        K = sm._state.knots
+        X = _cr_design(K, K, sm._state.F)
+        assert np.allclose(X, np.eye(8), atol=1e-10)
+
+    def test_penalty_annihilates_linear(self):
+        rng = np.random.default_rng(1)
+        x = rng.uniform(0, 5, 100)
+        sm = CRSmooth("s(x)", x, k=7)
+        # In value-parameterization, a linear function is beta = a + b*knots.
+        # The *uncentered* penalty annihilates it; after centering the
+        # constant is gone, so test via the state directly.
+        K = sm._state.knots
+        beta_lin = 2.0 + 3.0 * K
+        # reconstruct full S from D'B^-1 D via the basis internals:
+        # S_c = Z' S Z, and a linear beta maps into z-space approximately;
+        # instead check that evaluating the fitted basis at a linear
+        # target gives near-zero penalty: solve min ||Xc - y||
+        Xc = sm.X
+        y = 2.0 + 3.0 * x
+        coef, *_ = np.linalg.lstsq(Xc, y - y.mean(), rcond=None)
+        assert coef @ sm.S @ coef < 1e-8 * (coef @ coef + 1)
+
+    def test_shrinkage_full_rank(self):
+        rng = np.random.default_rng(2)
+        x = rng.uniform(0, 5, 100)
+        sm = CRSmooth("s(x)", x, k=6, shrink=True)
+        w = np.linalg.eigvalsh(sm.S)
+        assert w.min() > 0
+
+    def test_eval_round_trip_and_extrapolation(self):
+        rng = np.random.default_rng(3)
+        x = rng.uniform(0, 5, 120)
+        sm = CRSmooth("s(x)", x, k=6)
+        assert np.allclose(sm.eval(x), sm.X, atol=1e-12)
+        # outside the range: columns extend linearly
+        xs = np.array([-1.0, -0.5, 0.0])
+        Xs = sm.eval(xs)
+        d1 = Xs[1] - Xs[0]
+        d2 = Xs[2] - Xs[1]
+        assert np.allclose(d1, d2, atol=1e-8)
+
+
+class TestTPBasis:
+    def test_centered_and_penalty_psd(self):
+        rng = np.random.default_rng(4)
+        x = rng.uniform(-2, 2, 150)
+        sm = TPSmooth("s(x)", x, k=9, shrink=False)
+        assert sm.X.shape == (150, 8)  # k-1 after centering
+        assert np.allclose(sm.X.sum(axis=0), 0, atol=1e-8)
+        w = np.linalg.eigvalsh(sm.S)
+        assert w.min() > -1e-10
+
+    def test_ts_full_rank(self):
+        rng = np.random.default_rng(5)
+        x = rng.uniform(-2, 2, 150)
+        sm = TPSmooth("s(x)", x, k=5, shrink=True)
+        assert np.linalg.eigvalsh(sm.S).min() > 0
+
+    def test_function_recovery(self):
+        """A smooth function is representable with low residual."""
+        rng = np.random.default_rng(6)
+        x = np.linspace(0, 1, 300) + rng.normal(size=300) * 1e-9
+        y = np.sin(2 * np.pi * x)
+        sm = TPSmooth("s(x)", x, k=12)
+        X1 = np.column_stack([np.ones_like(x), sm.X])
+        coef, *_ = np.linalg.lstsq(X1, y, rcond=None)
+        assert np.max(np.abs(X1 @ coef - y)) < 5e-3
+
+    def test_eval_round_trip(self):
+        rng = np.random.default_rng(7)
+        x = rng.uniform(-2, 2, 80)
+        sm = TPSmooth("s(x)", x, k=6)
+        assert np.allclose(sm.eval(x), sm.X, atol=1e-10)
+
+
+class TestDesignAssembly:
+    def _data(self, n_id=10, n_per=10, seed=0):
+        rng = np.random.default_rng(seed)
+        n = n_id * n_per
+        return {
+            "ID": np.repeat([f"a{i}" for i in range(n_id)], n_per),
+            "time": np.tile(np.arange(n_per, dtype=float), n_id),
+            "x1": rng.uniform(0, 1, n),
+            "x2": rng.normal(size=n),
+            "x3": rng.choice(["u", "v"], size=n),
+            "z": rng.normal(size=n),
+        }
+
+    def test_reference_shape_contract(self):
+        """Mirror of test_sde.R:53-72: coeff_fe len 3, coeff_re len 18,
+        one lambda per smooth (3)."""
+        data = self._data()
+        d = build_design(
+            {
+                "mu": "~s(x1, k=5, bs='ts') + x2",
+                "sigma": "~s(ID, bs='re') + s(x2, k=5, bs='ts')",
+            },
+            data,
+        )
+        assert sum(d.ncol_fe) == 3  # mu: intercept + x2; sigma: intercept
+        assert sum(d.ncol_re) == 18  # 4 + 10 + 4
+        assert len(d.ncol_re) == 3
+        assert d.names_fe == ["mu.(Intercept)", "mu.x2", "sigma.(Intercept)"]
+        assert d.ncol_re_names == ["mu.s(x1)", "sigma.s(ID)", "sigma.s(x2)"]
+        assert d.stacked_X_fe().shape == (200, 3)
+        assert d.stacked_X_re().shape == (200, 18)
+        assert d.stacked_S().shape == (18, 18)
+
+    def test_factor_parametric_term(self):
+        data = self._data()
+        d = build_design({"mu": "~x3", "sigma": "~1"}, data)
+        assert d.names_fe == ["mu.(Intercept)", "mu.x3v", "sigma.(Intercept)"]
+        X = d.per_param["mu"].X_fe
+        assert np.allclose(X[:, 1], (np.asarray(data["x3"]) == "v").astype(float))
+
+    def test_factor_by_smooth(self):
+        data = self._data()
+        d = build_design({"mu": "~s(x2, k=5, by=x3)", "sigma": "~1"}, data)
+        # one centered smooth per level of x3
+        assert len(d.ncol_re) == 2
+        assert d.ncol_re == [4, 4]
+        assert d.ncol_re_names == ["mu.s(x2):x3u", "mu.s(x2):x3v"]
+        Xre = d.per_param["mu"].X_re
+        u_rows = np.asarray(data["x3"]) == "u"
+        assert np.allclose(Xre[~u_rows, :4], 0)
+        assert np.allclose(Xre[u_rows, 4:], 0)
+
+    def test_numeric_by_smooth(self):
+        data = self._data()
+        d = build_design({"mu": "~s(x1, k=5, by=z)", "sigma": "~1"}, data)
+        assert d.ncol_re == [4]
+        assert d.ncol_re_names == ["mu.s(x1):z"]
+
+    def test_re_smooth_levels(self):
+        data = self._data()
+        d = build_design({"mu": "~s(ID, bs='re')", "sigma": "~1"}, data)
+        assert d.ncol_re == [10]
+        S = d.S_blocks[0]
+        assert np.allclose(S, np.eye(10))
+
+    def test_eval_new_data_matches_training_rows(self):
+        data = self._data()
+        d = build_design(
+            {"mu": "~s(x1, k=6, bs='cs') + x2", "sigma": "~s(x2, k=4, bs='ts')"},
+            data,
+        )
+        sub = {k: np.asarray(v)[10:20] for k, v in data.items()}
+        ev = d.eval(ColumnData(sub))
+        assert np.allclose(ev.fe_blocks[0], d.per_param["mu"].X_fe[10:20])
+        assert np.allclose(ev.re_blocks[0], d.per_param["mu"].X_re[10:20])
+        assert np.allclose(ev.re_blocks[1], d.per_param["sigma"].X_re[10:20])
+
+    def test_expression_term_pi(self):
+        data = self._data()
+        d = build_design({"mu": "~sin(2*pi*time/24)", "sigma": "~1"}, data)
+        expected = np.sin(2 * np.pi * np.asarray(data["time"]) / 24)
+        assert np.allclose(d.per_param["mu"].X_fe[:, 1], expected)
