@@ -1,0 +1,80 @@
+"""Headline benchmark: nllk + gradient of a 1M-step 2-D CTCRW Kalman
+filter on one TPU chip (BASELINE.json north star: < 10 ms).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N}
+vs_baseline = (10 ms north-star) / measured — values > 1 beat the target.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N_STEPS = 1_000_000
+TARGET_MS = 10.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    dtype = jnp.float32
+
+    from smoothsde_tpu.models.ssm import ctcrw_steps
+    from smoothsde_tpu.ops.kalman import kalman_filter_parallel
+
+    rng = np.random.default_rng(0)
+    n = N_STEPS
+    times = np.cumsum(rng.uniform(0.4, 0.6, size=n)).astype(np.float32)
+    obs = np.cumsum(rng.normal(size=(n, 2)).astype(np.float32) * 0.3, axis=0)
+    ids = np.zeros(n, np.int32)
+    # working-scale parameters (mu1, mu2, log tau, log nu)
+    theta0 = jnp.asarray([0.0, 0.0, np.log(2.0), np.log(1.0)], dtype)
+
+    obs_j = jnp.asarray(obs)
+    times_j = jnp.asarray(times)
+
+    def nllk(theta):
+        par = jnp.broadcast_to(theta, (n, 4))
+        steps = ctcrw_steps(
+            par, obs_j, times_j, ids, sigma_obs=jnp.asarray(0.1, dtype)
+        )
+        return -kalman_filter_parallel(steps)[0]
+
+    fn = jax.jit(jax.value_and_grad(nllk))
+
+    # compile
+    v, g = fn(theta0)
+    v.block_until_ready()
+
+    reps = 10
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            v, g = fn(theta0)
+        v.block_until_ready()
+        g.block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / reps)
+    ms = best * 1e3
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "nllk+grad wall-time, 1M-step 2-D CTCRW parallel-scan "
+                    f"Kalman, {backend} f32"
+                ),
+                "value": round(ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(TARGET_MS / ms, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

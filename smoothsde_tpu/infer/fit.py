@@ -1,0 +1,139 @@
+"""Outer optimization (BFGS over the Laplace marginal) and the
+sdreport equivalent (joint precision of all parameters).
+
+Mirrors the reference's fit path (R/sde.R:683-720): optim(...,
+method="BFGS") over TMB's fn/gr, then sdreport(getJointPrecision=TRUE).
+Here fn/gr are the jitted Laplace marginal and its exact implicit-diff
+gradient; the outer Hessian is obtained by central finite differences
+of that gradient (the same strategy TMB/optimHess uses), and the joint
+precision over (outer, inner) is assembled as
+
+    Q = [[H_marg + J_tb J_bb^-1 J_bt,  J_tb],
+         [J_bt,                        J_bb]]
+
+whose Schur complement reproduces Cov(theta) = H_marg^-1 and whose
+conditional b|theta precision is the joint curvature J_bb.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smoothsde_tpu.infer.laplace import make_laplace
+
+
+@dataclasses.dataclass
+class FitResult:
+    par: np.ndarray  # outer (fixed-effect-level) estimates
+    par_names: List[str]
+    value: float  # marginal nllk at the optimum
+    convergence: int
+    counts: dict
+    systime: float
+    message: str
+    bhat: np.ndarray  # inner (random-effect) estimates, free entries
+    inner_names: List[str]
+    H_marg: Optional[np.ndarray] = None
+    cov_fixed: Optional[np.ndarray] = None
+    joint_precision: Optional[np.ndarray] = None
+    joint_names: Optional[List[str]] = None
+
+
+def fit_model(
+    bundle,
+    method: str = "BFGS",
+    maxiter: int = 1000,
+    compute_sdreport: bool = True,
+    fd_step: float = 1e-4,
+    verbose: bool = False,
+) -> FitResult:
+    from scipy import optimize
+
+    packer = bundle.packer
+    marginal = make_laplace(bundle.joint_nllk, packer)
+    val_grad = jax.jit(jax.value_and_grad(marginal, has_aux=True))
+
+    x0 = packer.outer_init()
+    b_warm = jnp.asarray(packer.inner_init())
+
+    cache = {}
+
+    def eval_at(x):
+        nonlocal b_warm
+        key = x.tobytes()
+        if key not in cache:
+            (v, b), g = val_grad(jnp.asarray(x), b_warm)
+            if np.isfinite(float(v)):
+                b_warm = b
+            cache.clear()
+            cache[key] = (float(v), np.asarray(g), np.asarray(b))
+        return cache[key]
+
+    t0 = time.time()
+    res = optimize.minimize(
+        fun=lambda x: eval_at(x)[0],
+        x0=x0,
+        jac=lambda x: eval_at(x)[1],
+        method=method,
+        options={"maxiter": maxiter, "disp": verbose},
+    )
+    systime = time.time() - t0
+
+    x_hat = np.asarray(res.x, float)
+    v_hat, g_hat, b_hat = eval_at(x_hat)
+
+    out = FitResult(
+        par=x_hat,
+        par_names=packer.outer_names(),
+        value=v_hat,
+        convergence=int(not res.success),
+        counts={"function": int(res.nfev), "gradient": int(getattr(res, "njev", 0))},
+        systime=systime,
+        message=str(res.message),
+        bhat=b_hat,
+        inner_names=packer.inner_names(),
+    )
+    if not compute_sdreport:
+        return out
+
+    # ---- outer Hessian: central differences of the exact gradient ----
+    n_out = len(x_hat)
+    H = np.zeros((n_out, n_out))
+    grad_only = jax.jit(
+        lambda x, b0: jax.grad(lambda xx, bb: marginal(xx, bb)[0])(x, b0)
+    )
+    for i in range(n_out):
+        h = fd_step * max(1.0, abs(x_hat[i]))
+        xp = x_hat.copy(); xp[i] += h
+        xm = x_hat.copy(); xm[i] -= h
+        gp = np.asarray(grad_only(jnp.asarray(xp), jnp.asarray(b_hat)))
+        gm = np.asarray(grad_only(jnp.asarray(xm), jnp.asarray(b_hat)))
+        H[i] = (gp - gm) / (2 * h)
+    H_marg = 0.5 * (H + H.T)
+    out.H_marg = H_marg
+    from smoothsde_tpu.utils.misc import prec_to_cov
+
+    out.cov_fixed = prec_to_cov(H_marg) if n_out else np.zeros((0, 0))
+
+    # ---- joint precision over (outer, inner) ----
+    n_in = packer.n_inner
+    if n_in > 0:
+        def joint_vec(z):
+            full = packer.unpack(z[:n_out], z[n_out:])
+            return bundle.joint_nllk(full)
+
+        z_hat = jnp.concatenate([jnp.asarray(x_hat), jnp.asarray(b_hat)])
+        J = np.asarray(jax.hessian(joint_vec)(z_hat))
+        J_tb = J[:n_out, n_out:]
+        J_bb = J[n_out:, n_out:]
+        top_left = H_marg + J_tb @ np.linalg.solve(J_bb, J_tb.T)
+        Q = np.block([[top_left, J_tb], [J_tb.T, J_bb]])
+        out.joint_precision = 0.5 * (Q + Q.T)
+        out.joint_names = packer.outer_names() + packer.inner_names()
+    return out

@@ -1,0 +1,104 @@
+"""Laplace approximation over smooth/random-effect coefficients.
+
+Replaces TMB's MakeADFun(random = "coeff_re") machinery
+(R/sde.R:656-658): the marginal nllk over outer parameters theta is
+
+    marg(theta) = joint(theta, bhat) + 1/2 log det H_bb(theta, bhat)
+                  - k/2 log(2 pi),
+    bhat(theta) = argmin_b joint(theta, b),
+
+with bhat computed by a damped Newton solver (lax.while_loop, fixed
+multi-step-size line search evaluated with vmap — branch-free, TPU
+friendly) and differentiated via the implicit function theorem
+(custom_vjp: d bhat/d theta = -H_bb^{-1} d^2 joint / db dtheta), so
+jax.grad(marg) is the exact gradient of the Laplace objective,
+including the curvature (log-det) terms — the same quantity TMB's tape
+produces.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LaplaceConfig(NamedTuple):
+    max_iter: int = 100
+    tol: float = 1e-8
+    ridge: float = 1e-9
+
+
+_ALPHAS = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01)
+
+
+def make_laplace(joint_nllk: Callable, packer, config: LaplaceConfig = LaplaceConfig()):
+    """Build (marginal_nllk, bhat_solver) for a packed objective.
+
+    marginal_nllk(outer, b0) -> (value, bhat): differentiable in outer;
+    b0 is a warm start (treated as constant under differentiation).
+    """
+    n_inner = packer.n_inner
+    if n_inner == 0:
+        def marginal_trivial(outer, b0):
+            return joint_nllk(packer.unpack(outer)), jnp.zeros((0,))
+
+        return marginal_trivial
+
+    def f(outer, b):
+        return joint_nllk(packer.unpack(outer, b))
+
+    grad_b = jax.grad(f, argnums=1)
+    hess_b = jax.jacfwd(grad_b, argnums=1)
+    eye = jnp.eye(n_inner)
+    alphas = jnp.asarray(_ALPHAS)
+
+    def newton(outer, b0):
+        def cond(state):
+            b, g, i = state
+            return (i < config.max_iter) & (jnp.max(jnp.abs(g)) > config.tol)
+
+        def body(state):
+            b, g, i = state
+            H = hess_b(outer, b)
+            scale = jnp.mean(jnp.abs(jnp.diagonal(H))) + 1.0
+            delta = jnp.linalg.solve(H + config.ridge * scale * eye, g)
+            cand = b[None, :] - alphas[:, None] * delta[None, :]
+            fs = jax.vmap(lambda bb: f(outer, bb))(cand)
+            fs = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
+            b_new = cand[jnp.argmin(fs)]
+            return (b_new, grad_b(outer, b_new), i + 1)
+
+        b, _, _ = jax.lax.while_loop(cond, body, (b0, grad_b(outer, b0), 0))
+        return b
+
+    @jax.custom_vjp
+    def bhat(outer, b0):
+        return newton(outer, b0)
+
+    def bhat_fwd(outer, b0):
+        b = newton(outer, b0)
+        return b, (outer, b)
+
+    def bhat_bwd(res, v):
+        outer, b = res
+        H = hess_b(outer, b)
+        w = jnp.linalg.solve(H, v)
+        _, vjp_fn = jax.vjp(lambda o: grad_b(o, b), outer)
+        (gout,) = vjp_fn(w)
+        return (-gout, jnp.zeros_like(b))
+
+    bhat.defvjp(bhat_fwd, bhat_bwd)
+
+    log_2pi = jnp.log(2.0 * jnp.pi)
+
+    def marginal_nllk(outer, b0):
+        b = bhat(outer, b0)
+        H = hess_b(outer, b)
+        _, logdet = jnp.linalg.slogdet(H)
+        val = f(outer, b) + 0.5 * logdet - 0.5 * n_inner * log_2pi
+        return val, b
+
+    return marginal_nllk

@@ -1,0 +1,302 @@
+"""Penalized joint negative log-likelihood assembly.
+
+Equivalent of the reference's TMB data packing + templated objective
+(R/sde.R:491-670 driving src/smoothSDE.cpp:9-28), built instead as a
+pure JAX function over named parameter blocks:
+
+    nllk(params) = -loglik(par_mat(params)) + penalty(coeff_re, lambda)
+
+with par_mat the (n, n_par) working-scale linear predictor
+(X_fe coeff_fe + X_re coeff_re, per-parameter blocks), the likelihood
+either the vectorized transition-density sum or a Kalman filter, and
+the smoothing penalty of ops/penalty.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from smoothsde_tpu.infer.params import ParamBlock, ParamPacker
+from smoothsde_tpu.models.registry import ModelSpec
+from smoothsde_tpu.models.ssm import (
+    bm_ssm_steps,
+    ctcrw_steps,
+    eseal_ssm_steps,
+    ou_ssm_steps,
+)
+from smoothsde_tpu.ops.densities import closed_form_loglik
+from smoothsde_tpu.ops.kalman import kalman_loglik
+from smoothsde_tpu.ops.penalty import make_penalty
+
+_CLOSED_FORM = ("BM", "BM_t", "OU", "CIR")
+
+
+def _dinvgamma_log(x, shape, scale):
+    """Inverse-gamma log-pdf (nllk_e_seal_ssm.hpp:68-78)."""
+    from jax.scipy.special import gammaln
+
+    return shape * jnp.log(scale) - gammaln(shape) - (shape + 1.0) * jnp.log(
+        x
+    ) - scale / x
+
+
+@dataclasses.dataclass
+class ObjectiveBundle:
+    """Everything the fitting layer needs."""
+
+    joint_nllk: Callable  # penalized, fn(full_params_dict) -> scalar
+    joint_nllk_unpenalized: Callable  # include_penalty = 0 variant
+    packer: ParamPacker
+    par_matrix: Callable  # fn(full_params_dict) -> (n, n_par) working scale
+    filter_states: Optional[Callable]  # SSMs: fn(full) -> (n, s) aest_all
+    n_obs: int
+
+
+def build_objective(
+    spec: ModelSpec,
+    design,  # DesignMatrices
+    obs: np.ndarray,
+    times: np.ndarray,
+    ids: np.ndarray,
+    other_data: Optional[dict] = None,
+    fixpar: Optional[List[str]] = None,
+    init: Optional[Dict[str, np.ndarray]] = None,
+    map_fix: Optional[Dict[str, np.ndarray]] = None,
+    kalman_impl: str = "auto",
+) -> ObjectiveBundle:
+    other_data = dict(other_data or {})
+    fixpar = list(fixpar or [])
+    init = dict(init or {})
+    map_fix = dict(map_fix or {})
+    n, n_dim = obs.shape
+    param_names = list(spec.param_names)
+    n_par = len(param_names)
+
+    fe_blocks = [jnp.asarray(X) for X in design.fe_blocks()]
+    re_blocks = [jnp.asarray(X) for X in design.re_blocks()]
+    ncol_fe = design.ncol_fe
+    ncol_re_per_param = [X.shape[1] for X in design.re_blocks()]
+    fe_off = np.concatenate([[0], np.cumsum(ncol_fe)]).astype(int)
+    re_off = np.concatenate([[0], np.cumsum(ncol_re_per_param)]).astype(int)
+    p_fe = int(fe_off[-1])
+    p_re = int(re_off[-1])
+    n_smooth = len(design.ncol_re)
+    has_re = p_re > 0
+
+    obs_j = jnp.asarray(obs, float)
+    times_j = jnp.asarray(times, float)
+    ids_j = jnp.asarray(np.asarray(ids))
+
+    # ---- decay-modulated splines (closed-form models only,
+    #      R/sde.R:634-653, nllk_sde.hpp:47-58) ----
+    decay_enabled = (
+        spec.type in _CLOSED_FORM and other_data.get("t_decay") is not None
+    )
+    decay_map: List[tuple] = []  # (param_j, local_col, rate_idx)
+    n_decay = 1
+    t_decay_blocks = None
+    if decay_enabled:
+        t_decay = np.asarray(other_data["t_decay"], float)
+        if t_decay.size != n * n_par:
+            raise ValueError(
+                "'t_decay' should have length (number of parameters) x "
+                "(number of data)"
+            )
+        col_decay = np.atleast_1d(np.asarray(other_data["col_decay"], int))
+        ind_decay = np.atleast_1d(np.asarray(other_data["ind_decay"], int))
+        if len(col_decay) != len(ind_decay):
+            raise ValueError("'col_decay' and 'ind_decay' lengths differ")
+        n_decay = int(len(np.unique(ind_decay)))
+        t_decay_blocks = jnp.asarray(t_decay.reshape(n_par, n))
+        for c, ind in zip(col_decay, ind_decay):
+            c0 = int(c) - 1  # 1-based as in the reference
+            j = int(np.searchsorted(re_off, c0, side="right") - 1)
+            decay_map.append((j, c0 - int(re_off[j]), int(ind) - 1))
+
+    # ---- parameter blocks ----
+    blocks: List[ParamBlock] = []
+
+    def _init(name, size, default=0.0):
+        v = np.asarray(init.get(name, np.full(size, default)), float).reshape(-1)
+        if v.size != size:
+            raise ValueError(f"init for {name!r} has wrong size")
+        return v
+
+    if spec.type in ("BM_SSM", "OU_SSM", "CTCRW"):
+        fixed_sobs = np.array([other_data.get("H") is not None])
+        if "log_sigma_obs" in map_fix:
+            fixed_sobs = np.atleast_1d(np.asarray(map_fix["log_sigma_obs"], bool))
+        blocks.append(
+            ParamBlock("log_sigma_obs", _init("log_sigma_obs", 1, 0.0), fixed_sobs)
+        )
+    elif spec.type == "ESEAL_SSM":
+        # Initial values from R/sde.R:606-609.
+        for name, default in (
+            ("log_tau", 0.0),
+            ("a1", -0.578),
+            ("log_a2", float(np.log(1.214))),
+        ):
+            fixed = np.atleast_1d(
+                np.asarray(map_fix.get(name, [False]), bool)
+            )
+            blocks.append(ParamBlock(name, _init(name, 1, default), fixed))
+
+    # coeff_fe, with fixpar columns pinned (R/sde.R:621-632)
+    cfe_fixed = np.zeros(p_fe, bool)
+    for j, pname in enumerate(param_names):
+        if pname in fixpar:
+            cfe_fixed[fe_off[j] : fe_off[j + 1]] = True
+    if "coeff_fe" in map_fix:
+        cfe_fixed = cfe_fixed | np.asarray(map_fix["coeff_fe"], bool)
+    blocks.append(ParamBlock("coeff_fe", _init("coeff_fe", p_fe), cfe_fixed))
+
+    # log_lambda: one per smooth; absent (fixed) when no random effects
+    ll_fixed = np.full(max(n_smooth, 1), not has_re)
+    if "log_lambda" in map_fix:
+        ll_fixed = ll_fixed | np.asarray(map_fix["log_lambda"], bool)
+    blocks.append(
+        ParamBlock(
+            "log_lambda", _init("log_lambda", max(n_smooth, 1), 0.0), ll_fixed
+        )
+    )
+
+    if decay_enabled:
+        blocks.append(
+            ParamBlock(
+                "log_decay",
+                _init("log_decay", n_decay, 0.0),
+                np.zeros(n_decay, bool),
+            )
+        )
+
+    cre_fixed = np.zeros(max(p_re, 1), bool) if has_re else np.ones(1, bool)
+    if "coeff_re" in map_fix and has_re:
+        cre_fixed = cre_fixed | np.asarray(map_fix["coeff_re"], bool)
+    blocks.append(
+        ParamBlock("coeff_re", _init("coeff_re", max(p_re, 1)), cre_fixed)
+    )
+
+    packer = ParamPacker(blocks, inner="coeff_re")
+
+    # ---- linear predictor ----
+    def par_matrix(full):
+        cfe = full["coeff_fe"]
+        cre = full["coeff_re"]
+        cols = []
+        for j in range(n_par):
+            lp = fe_blocks[j] @ cfe[fe_off[j] : fe_off[j + 1]]
+            if ncol_re_per_param[j] > 0:
+                Xre = re_blocks[j]
+                if decay_enabled:
+                    rate = jnp.exp(full["log_decay"])
+                    for jj, local, rix in decay_map:
+                        if jj == j:
+                            factor = jnp.exp(-rate[rix] * t_decay_blocks[j])
+                            Xre = Xre.at[:, local].set(Xre[:, local] * factor)
+                lp = lp + Xre @ cre[re_off[j] : re_off[j + 1]]
+            cols.append(lp)
+        return jnp.stack(cols, axis=1)
+
+    # ---- likelihood ----
+    H_array = other_data.get("H")
+    if H_array is not None:
+        H_array = np.asarray(H_array, float)
+        if H_array.ndim == 3 and H_array.shape[0] != n and H_array.shape[-1] == n:
+            H_array = np.moveaxis(H_array, -1, 0)
+        H_array = jnp.asarray(H_array)
+    P0 = other_data.get("P0")
+    if P0 is not None:
+        P0 = jnp.asarray(np.asarray(P0, float))
+
+    if spec.kind == "closed_form":
+        other = {"df": float(other_data["df"])} if spec.type == "BM_t" else None
+
+        def loglik(full):
+            return closed_form_loglik(
+                spec.type, obs_j, times_j, ids_j, par_matrix(full), other
+            )
+
+        filter_states = None
+    else:
+        if spec.type == "ESEAL_SSM":
+            h = jnp.asarray(np.asarray(other_data["h"], float))
+            R = jnp.asarray(np.asarray(other_data["R"], float))
+            dep_fat = jnp.asarray(np.asarray(other_data["dep_fat"], float))
+            priors = other_data.get("priors", "schick2013")
+
+            def _steps(full):
+                return eseal_ssm_steps(
+                    par_matrix(full), obs_j, times_j, ids_j,
+                    full["log_tau"][0], full["a1"][0], full["log_a2"][0],
+                    h, R, dep_fat, P0=P0,
+                )
+
+            def loglik(full):
+                pm = par_matrix(full)
+                llk = kalman_loglik(_steps(full), impl=kalman_impl)
+                if priors == "schick2013":
+                    # IG priors on sigma^2 and tau^2
+                    # (nllk_e_seal_ssm.hpp:215-216)
+                    sigma0 = jnp.exp(pm[0, 1])
+                    tau = jnp.exp(full["log_tau"][0])
+                    llk = llk + _dinvgamma_log(
+                        sigma0**2, 10.0 * n, 4.0 * (10.0 * n - 1.0)
+                    )
+                    llk = llk + _dinvgamma_log(tau**2, n / 2.0, n / 2.0 - 1.0)
+                return llk
+
+        else:
+            builder = {
+                "BM_SSM": bm_ssm_steps,
+                "OU_SSM": ou_ssm_steps,
+                "CTCRW": ctcrw_steps,
+            }[spec.type]
+
+            def _steps(full):
+                return builder(
+                    par_matrix(full), obs_j, times_j, ids_j,
+                    sigma_obs=jnp.exp(full["log_sigma_obs"][0]),
+                    H_array=H_array, P0=P0,
+                )
+
+            def loglik(full):
+                return kalman_loglik(_steps(full), impl=kalman_impl)
+
+        def filter_states(full):
+            from smoothsde_tpu.ops.kalman import kalman_loglik_sequential
+
+            return kalman_loglik_sequential(_steps(full), with_states=True)[1]
+
+    # ---- penalty ----
+    penalty = make_penalty(
+        design.S_blocks, normalize=(spec.kind == "closed_form")
+    )
+
+    def joint_nllk(full):
+        val = -loglik(full)
+        if has_re:
+            val = val + penalty(full["coeff_re"], full["log_lambda"])
+        return val
+
+    def joint_nllk_unpenalized(full):
+        # include_penalty = 0: the closed-form dispatcher drops the
+        # penalty entirely (nllk_sde.hpp:91); the Kalman templates have
+        # no such flag and always include it (their joint objective is
+        # built with the same code path, R/sde.R:663-669) — we mirror
+        # the closed-form behavior for all types since the unpenalized
+        # joint likelihood is what conditional AIC needs
+        # (R/sde.R:1318-1328).
+        return -loglik(full)
+
+    return ObjectiveBundle(
+        joint_nllk=joint_nllk,
+        joint_nllk_unpenalized=joint_nllk_unpenalized,
+        packer=packer,
+        par_matrix=par_matrix,
+        filter_states=filter_states if spec.kind == "ssm" else None,
+        n_obs=n,
+    )

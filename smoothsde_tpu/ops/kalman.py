@@ -71,6 +71,46 @@ def _sym(M):
     return 0.5 * (M + jnp.swapaxes(M, -1, -2))
 
 
+def _solve_small(A, B):
+    """Batched solve A X = B specialized for tiny static sizes.
+
+    For s <= 2 use closed-form inverses (elementwise VPU math — batched
+    LU on (n, 2, 2) arrays is far slower on TPU); otherwise fall back
+    to jnp.linalg.solve.
+    """
+    s = A.shape[-1]
+    if s == 1:
+        return B / A[..., :1, :]
+    if s == 2:
+        a, b = A[..., 0, 0], A[..., 0, 1]
+        c, d = A[..., 1, 0], A[..., 1, 1]
+        det = a * d - b * c
+        inv = (
+            jnp.stack(
+                [
+                    jnp.stack([d, -b], axis=-1),
+                    jnp.stack([-c, a], axis=-1),
+                ],
+                axis=-2,
+            )
+            / det[..., None, None]
+        )
+        return inv @ B
+    return jnp.linalg.solve(A, B)
+
+
+def _slogdet_small(F):
+    """Batched slogdet specialized for tiny static sizes."""
+    m = F.shape[-1]
+    if m == 1:
+        d = F[..., 0, 0]
+        return jnp.sign(d), jnp.log(jnp.abs(d))
+    if m == 2:
+        det = F[..., 0, 0] * F[..., 1, 1] - F[..., 0, 1] * F[..., 1, 0]
+        return jnp.sign(det), jnp.log(jnp.abs(det))
+    return jnp.linalg.slogdet(F)
+
+
 def kalman_loglik_sequential(steps: KalmanSteps, with_states: bool = False):
     """Sequential lax.scan filter. Returns (llk, aest_all or None).
 
@@ -144,7 +184,7 @@ def _combine(e1: _Element, e2: _Element) -> _Element:
     eye = jnp.eye(s, dtype=e1.A.dtype)
     # M = (I + C1 J2)^-1 ; N = (I + J2 C1)^-1 = M^T when C,J symmetric
     C1J2 = e1.C @ e2.J
-    M = jnp.linalg.solve(eye + C1J2, eye)
+    M = _solve_small(eye + C1J2, jnp.broadcast_to(eye, C1J2.shape))
     A2M = e2.A @ M
     A = A2M @ e1.A
     b = (A2M @ (e1.b[..., None] + e1.C @ e2.eta[..., None]))[..., 0] + e2.b
@@ -192,7 +232,7 @@ def _build_elements(steps: KalmanSteps) -> _Element:
     # an update happens; sanitize elsewhere.
     S = Z @ Qt @ jnp.swapaxes(Z, 1, 2) + H
     S_safe = jnp.where(update[:, None, None], S, jnp.eye(m, dtype=S.dtype))
-    ZtSinv = jnp.swapaxes(jnp.linalg.solve(S_safe, Z), 1, 2)  # Z' S^-1
+    ZtSinv = jnp.swapaxes(_solve_small(S_safe, Z), 1, 2)  # Z' S^-1
     K = Qt @ ZtSinv  # (n, s, m)
     resid = (y - (Z @ ct[..., None])[..., 0])[..., None]  # (n, m, 1)
 
@@ -226,18 +266,9 @@ def _build_elements(steps: KalmanSteps) -> _Element:
     return _Element(A, b, C, eta, J)
 
 
-def kalman_filter_parallel(steps: KalmanSteps):
-    """Log-depth parallel Kalman filter.
-
-    Returns (llk, filtered_means (n, s), filtered_covs (n, s, s)).
-    Filtered moments are E[x_i | y_{<=i}] within each track, matching the
-    sequential filter's measurement-updated states.
-    """
-    elems = _build_elements(steps)
-    scanned = jax.lax.associative_scan(_combine, elems, axis=0)
-    m_f, P_f = scanned.b, scanned.C
-
-    # Elementwise recovery of the predictive likelihood terms.
+def _shifted_transitions(steps: KalmanSteps):
+    """Transition entering each step (from row i-1; identity out of a
+    reset, matching the reference's un-propagated track starts)."""
     n, s = steps.b.shape
     eye = jnp.eye(s, dtype=steps.T.dtype)
     prev_reset = jnp.concatenate([jnp.ones((1,), bool), steps.reset[:-1]])
@@ -256,6 +287,13 @@ def kalman_filter_parallel(steps: KalmanSteps):
         0.0,
         jnp.concatenate([jnp.zeros((1, s, s), steps.Q.dtype), steps.Q[:-1]], axis=0),
     )
+    return Ft, ct, Qt
+
+
+def predictive_loglik_terms(steps: KalmanSteps, m_f, P_f):
+    """Per-step predictive log-density terms from filtered moments —
+    one embarrassingly parallel elementwise pass."""
+    Ft, ct, Qt = _shifted_transitions(steps)
     m_prev = jnp.concatenate([steps.a0[:1], m_f[:-1]], axis=0)
     P_prev = jnp.concatenate([steps.P0[:1], P_f[:-1]], axis=0)
     a_pred = jnp.where(
@@ -273,11 +311,24 @@ def kalman_filter_parallel(steps: KalmanSteps):
     update = steps.valid & (~steps.reset)
     m = Z.shape[1]
     F_safe = jnp.where(update[:, None, None], F, jnp.eye(m, dtype=F.dtype))
-    sign, logdetF = jnp.linalg.slogdet(F_safe)
-    Finv_u = jnp.linalg.solve(F_safe, u[..., None])[..., 0]
-    llk_terms = jnp.where(
+    sign, logdetF = _slogdet_small(F_safe)
+    Finv_u = _solve_small(F_safe, u[..., None])[..., 0]
+    return jnp.where(
         update, -0.5 * (logdetF + jnp.sum(u * Finv_u, axis=-1)), 0.0
     )
+
+
+def kalman_filter_parallel(steps: KalmanSteps):
+    """Log-depth parallel Kalman filter.
+
+    Returns (llk, filtered_means (n, s), filtered_covs (n, s, s)).
+    Filtered moments are E[x_i | y_{<=i}] within each track, matching the
+    sequential filter's measurement-updated states.
+    """
+    elems = _build_elements(steps)
+    scanned = jax.lax.associative_scan(_combine, elems, axis=0)
+    m_f, P_f = scanned.b, scanned.C
+    llk_terms = predictive_loglik_terms(steps, m_f, P_f)
     return jnp.sum(llk_terms), m_f, P_f
 
 

@@ -1,0 +1,97 @@
+"""Along-time (sequence-parallel) Kalman filtering across a device mesh.
+
+For a single track too long for one chip's step budget, the
+associative-scan filter is distributed with the classic block-scan
+decomposition: each device runs a local log-depth scan over its time
+shard, the per-shard total elements are all-gathered over ICI, every
+device composes the totals of its predecessors into a prefix element,
+and the prefix is folded into the local results. One all-gather of
+O(devices * s^2) bytes is the only communication
+(SURVEY.md section 2, "Parallelism" item 2; PAPERS.md temporal-
+parallelization references).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from smoothsde_tpu.ops.kalman import (
+    KalmanSteps,
+    _Element,
+    _build_elements,
+    _combine,
+    predictive_loglik_terms,
+)
+
+
+def _identity_element(s: int, dtype) -> _Element:
+    return _Element(
+        A=jnp.eye(s, dtype=dtype),
+        b=jnp.zeros((s,), dtype),
+        C=jnp.zeros((s, s), dtype),
+        eta=jnp.zeros((s,), dtype),
+        J=jnp.zeros((s, s), dtype),
+    )
+
+
+def _sharded_prefix_scan(elems: _Element, mesh: Mesh, axis: str) -> _Element:
+    """Inclusive associative scan of filtering elements with the time
+    axis sharded over `axis`."""
+    n_dev = mesh.shape[axis]
+    s = elems.A.shape[-1]
+    dtype = elems.A.dtype
+
+    def local(elem_block: _Element) -> _Element:
+        scanned = jax.lax.associative_scan(_combine, elem_block, axis=0)
+        total = jax.tree.map(lambda x: x[-1], scanned)
+        # all-gather each device's block total over ICI
+        totals = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, axis), total
+        )  # leaves have leading dim n_dev
+        my = jax.lax.axis_index(axis)
+        prefix = _identity_element(s, dtype)
+        for k in range(n_dev - 1):
+            candidate = _combine(
+                prefix, jax.tree.map(lambda x: x[k], totals)
+            )
+            prefix = jax.tree.map(
+                lambda p, c: jnp.where(k < my, c, p), prefix, candidate
+            )
+        # fold the predecessor prefix into every local element
+        broadcast = jax.tree.map(
+            lambda x: jnp.broadcast_to(
+                x, scanned.A.shape[:1] + x.shape
+            ),
+            prefix,
+        )
+        return _combine(broadcast, scanned)
+
+    spec = P(axis)
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(_Element(*([spec] * 5)),),
+        out_specs=_Element(*([spec] * 5)),
+    )(elems)
+
+
+def kalman_filter_time_sharded(
+    steps: KalmanSteps, mesh: Mesh, axis: str = "time"
+):
+    """Log-depth parallel Kalman filter with the step axis sharded.
+
+    Element construction and the likelihood-recovery pass are plain
+    elementwise jnp (GSPMD shards them; the one-step shifts become halo
+    exchanges); only the scan itself runs under shard_map.
+    Returns (llk, filtered_means).
+    """
+    elems = _build_elements(steps)
+    scanned = _sharded_prefix_scan(elems, mesh, axis)
+    m_f, P_f = scanned.b, scanned.C
+    llk_terms = predictive_loglik_terms(steps, m_f, P_f)
+    return jnp.sum(llk_terms), m_f

@@ -1,0 +1,127 @@
+"""Laplace marginalization oracle tests.
+
+For BM with a random-effect mean (linear-Gaussian in coeff_re), the
+Laplace approximation is exact, so the marginal nllk must match the
+analytic Gaussian marginalization to machine precision — the same
+oracle class SURVEY.md section 4 prescribes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import stats
+
+from smoothsde_tpu.formula.design import build_design
+from smoothsde_tpu.infer.laplace import make_laplace
+from smoothsde_tpu.infer.objective import build_objective
+from smoothsde_tpu.models.registry import get_model_spec
+
+
+def _bm_re_setup(seed=0, n_id=4, n_per=25):
+    rng = np.random.default_rng(seed)
+    n = n_id * n_per
+    ids = np.repeat(np.arange(n_id), n_per)
+    times = np.tile(np.arange(n_per, dtype=float) * 0.5, n_id)
+    b_true = rng.normal(size=n_id) * 0.7
+    mu0, sigma = 0.3, 0.8
+    obs = np.zeros(n)
+    for k in range(n_id):
+        sl = slice(k * n_per, (k + 1) * n_per)
+        dt = np.diff(times[sl])
+        steps = rng.normal(size=n_per - 1) * sigma * np.sqrt(dt) + (
+            mu0 + b_true[k]
+        ) * dt
+        obs[sl] = np.concatenate([[0.0], np.cumsum(steps)])
+    data = {
+        "ID": np.array([f"id{k}" for k in ids]),
+        "time": times,
+        "z": obs,
+    }
+    design = build_design({"mu": "~s(ID, bs='re')", "sigma": "~1"}, data)
+    spec = get_model_spec("BM", 1)
+    bundle = build_objective(
+        spec, design, obs[:, None], times, ids,
+        kalman_impl="sequential",
+    )
+    return bundle, data, obs, times, ids, n_id, n_per
+
+
+def _analytic_marginal(outer, obs, times, ids, n_id, n_per):
+    """Closed-form marginal nllk: per track, increments are jointly
+    Gaussian with covariance sigma^2 diag(dt) + dt dt'/lambda."""
+    mu0, log_sigma, log_lambda = outer
+    sigma = np.exp(log_sigma)
+    lam = np.exp(log_lambda)
+    total = 0.0
+    for k in range(n_id):
+        sl = slice(k * n_per, (k + 1) * n_per)
+        t = times[sl]
+        d = np.diff(obs[sl])
+        dt = np.diff(t)
+        cov = sigma**2 * np.diag(dt) + np.outer(dt, dt) / lam
+        total -= stats.multivariate_normal.logpdf(d, mu0 * dt, cov)
+    return total
+
+
+class TestLaplaceExactness:
+    def test_marginal_matches_analytic(self):
+        bundle, data, obs, times, ids, n_id, n_per = _bm_re_setup()
+        marginal = make_laplace(bundle.joint_nllk, bundle.packer)
+        assert bundle.packer.n_outer == 3  # mu intercept, sigma intercept, log_lambda
+        assert bundle.packer.n_inner == n_id
+
+        for outer in ([0.3, -0.2, 0.1], [0.0, 0.0, 0.0], [-0.5, 0.3, 1.0]):
+            ours, bhat = marginal(
+                jnp.asarray(outer, float), jnp.zeros(n_id)
+            )
+            theirs = _analytic_marginal(outer, obs, times, ids, n_id, n_per)
+            assert np.isclose(float(ours), theirs, rtol=1e-8), (outer, float(ours), theirs)
+
+    def test_gradient_matches_finite_differences(self):
+        bundle, *_ = _bm_re_setup()
+        marginal = make_laplace(bundle.joint_nllk, bundle.packer)
+        n_in = bundle.packer.n_inner
+        x = jnp.asarray([0.2, -0.1, 0.4])
+        b0 = jnp.zeros(n_in)
+        g = jax.grad(lambda xx: marginal(xx, b0)[0])(x)
+        for i in range(3):
+            h = 1e-6
+            xp = np.asarray(x).copy(); xp[i] += h
+            xm = np.asarray(x).copy(); xm[i] -= h
+            fd = (
+                float(marginal(jnp.asarray(xp), b0)[0])
+                - float(marginal(jnp.asarray(xm), b0)[0])
+            ) / (2 * h)
+            assert np.isclose(float(g[i]), fd, rtol=1e-5, atol=1e-7)
+
+    def test_bhat_is_posterior_mode(self):
+        bundle, data, obs, times, ids, n_id, n_per = _bm_re_setup()
+        marginal = make_laplace(bundle.joint_nllk, bundle.packer)
+        x = jnp.asarray([0.3, -0.2, 0.1])
+        _, bhat = marginal(x, jnp.zeros(n_id))
+        g = jax.grad(
+            lambda b: bundle.joint_nllk(bundle.packer.unpack(x, b))
+        )(bhat)
+        assert np.max(np.abs(np.asarray(g))) < 1e-6
+
+
+class TestEndToEndFit:
+    def test_bm_random_effect_recovery(self):
+        from smoothsde_tpu.infer.fit import fit_model
+
+        bundle, data, obs, times, ids, n_id, n_per = _bm_re_setup(
+            seed=3, n_id=8, n_per=50
+        )
+        res = fit_model(bundle)
+        assert res.convergence == 0
+        est = dict(zip(res.par_names, res.par))
+        # mu intercept near 0.3, sigma near log 0.8 (loose: small data)
+        names = res.par_names
+        mu_hat = res.par[names.index("coeff_fe")]
+        assert abs(mu_hat - 0.3) < 0.5
+        sig_idx = [i for i, nm in enumerate(names) if nm == "coeff_fe"][1]
+        assert abs(np.exp(res.par[sig_idx]) - 0.8) < 0.15
+        # sdreport pieces present and consistent
+        assert res.joint_precision is not None
+        assert res.joint_precision.shape == (3 + n_id, 3 + n_id)
+        w = np.linalg.eigvalsh(res.joint_precision)
+        assert w.min() > 0

@@ -1,0 +1,230 @@
+"""SDE class API tests: constructor validation (mirroring
+tests/testthat/test_sde.R), end-to-end fits, UQ, diagnostics, simulate,
+plotting."""
+
+import numpy as np
+import pytest
+
+from smoothsde_tpu import SDE
+
+
+def _bm_data(seed=0, n_id=10, n_per=10):
+    rng = np.random.default_rng(seed)
+    n = n_id * n_per
+    return {
+        "ID": np.repeat([f"i{k}" for k in range(n_id)], n_per),
+        "time": np.tile(np.arange(n_per, dtype=float), n_id),
+        "z": rng.normal(size=n).cumsum(),
+        "x1": rng.uniform(0, 1, n),
+        "x2": rng.normal(size=n),
+    }
+
+
+class TestConstructor:
+    def test_valid_bm(self):
+        sde = SDE(
+            formulas={"mu": "~x1", "sigma": "~1"},
+            data=_bm_data(),
+            type="BM",
+            response="z",
+        )
+        assert sde.type() == "BM"
+        assert sde.par_names() == ["mu", "sigma"]
+
+    def test_warns_when_id_missing(self):
+        data = _bm_data()
+        del data["ID"]
+        with pytest.warns(UserWarning, match="No ID column"):
+            SDE(data=data, type="BM", response="z")
+
+    def test_errors_missing_response(self):
+        with pytest.raises(ValueError, match="response"):
+            SDE(data=_bm_data(), type="BM", response="nope")
+
+    def test_errors_missing_covariate(self):
+        with pytest.raises(KeyError, match="xmissing"):
+            SDE(
+                formulas={"mu": "~xmissing", "sigma": "~1"},
+                data=_bm_data(), type="BM", response="z",
+            )
+
+    def test_errors_missing_time(self):
+        data = _bm_data()
+        del data["time"]
+        with pytest.raises(ValueError, match="time"):
+            SDE(data=data, type="BM", response="z")
+
+    def test_errors_wrong_formula_names(self):
+        with pytest.raises(ValueError, match="components"):
+            SDE(
+                formulas={"wrong": "~1", "sigma": "~1"},
+                data=_bm_data(), type="BM", response="z",
+            )
+
+    def test_shape_contract(self):
+        """Pin of test_sde.R:53-72."""
+        sde = SDE(
+            formulas={
+                "mu": "~s(x1, k=5, bs='ts') + x2",
+                "sigma": "~s(ID, bs='re') + s(x2, k=5, bs='ts')",
+            },
+            data=_bm_data(), type="BM", response="z",
+        )
+        assert len(sde.coeff_fe()) == 3
+        assert len(sde.coeff_re()) == 18
+        assert len(sde.lambda_()) == 3
+        assert len(sde.sdev()) == 3
+
+    def test_par0_applied_through_link(self):
+        sde = SDE(
+            data=_bm_data(), type="BM", response="z", par0=[1.5, 2.0]
+        )
+        p = sde.par(t=0)
+        assert np.isclose(p[0, 0], 1.5)
+        assert np.isclose(p[0, 1], 2.0)
+
+    def test_fixpar_requires_intercept_formula(self):
+        with pytest.raises(ValueError, match="fixed"):
+            SDE(
+                formulas={"mu": "~x1", "sigma": "~1"},
+                data=_bm_data(), type="BM", response="z",
+                par0=[0.0, 1.0], fixpar=["mu"],
+            )
+
+
+class TestFitBM:
+    @pytest.fixture(scope="class")
+    def fitted(self):
+        """driver.R-style simulation-recovery: BM with smooth sigma(x1)."""
+        rng = np.random.default_rng(7)
+        n = 2000
+        times = np.arange(n, dtype=float) * 0.2
+        x1 = np.linspace(0, 1, n)
+        sigma_true = np.exp(0.3 * np.sin(2 * np.pi * x1))
+        mu_true = 0.5
+        dt = np.diff(times)
+        z = np.concatenate(
+            [[0.0], np.cumsum(
+                mu_true * dt + sigma_true[:-1] * np.sqrt(dt) * rng.normal(size=n - 1)
+            )]
+        )
+        data = {"ID": np.zeros(n, int), "time": times, "z": z, "x1": x1}
+        sde = SDE(
+            formulas={"mu": "~1", "sigma": "~s(x1, k=6, bs='ts')"},
+            data=data, type="BM", response="z",
+        )
+        res = sde.fit()
+        return sde, res, x1, sigma_true, mu_true
+
+    def test_convergence_and_recovery(self, fitted):
+        sde, res, x1, sigma_true, mu_true = fitted
+        assert res.convergence == 0
+        par = sde.par(t="all", X_fe=sde.mats()["X_fe"], X_re=sde.mats()["X_re"])
+        assert abs(par[:, 0].mean() - mu_true) < 0.15
+        # smooth sigma recovered within 15% on average
+        rel = np.abs(par[:, 1] - sigma_true) / sigma_true
+        assert rel.mean() < 0.15
+
+    def test_ci_shapes_and_coverage_sanity(self, fitted):
+        sde, *_ = fitted
+        CI = sde.CI_pointwise(t=[0, 5, 10], n_post=200,
+                              rng=np.random.default_rng(0))
+        assert CI.shape == (2, 2, 3)
+        assert np.all(CI[:, 0] <= CI[:, 1])
+        CIs = sde.CI_simultaneous(t=[0, 5, 10], n_post=1000,
+                                  rng=np.random.default_rng(0))
+        assert CIs.shape == (2, 2, 3)
+        # simultaneous at least as wide as pointwise, up to Monte Carlo
+        # noise (the two calls use independent posterior draws)
+        slack = 0.1 * (CI[:, 1] - CI[:, 0])
+        assert np.all(CIs[:, 0] <= CI[:, 0] + slack)
+        assert np.all(CIs[:, 1] >= CI[:, 1] - slack)
+
+    def test_residuals_standard_normal(self, fitted):
+        sde, *_ = fitted
+        r = sde.residuals()
+        r = r[np.isfinite(r)]
+        assert abs(np.mean(r)) < 0.1
+        assert abs(np.std(r) - 1.0) < 0.1
+
+    def test_aic_and_edf(self, fitted):
+        sde, res, *_ = fitted
+        edf = sde.edf_conditional()
+        n_lambda = sum(1 for nm in res.par_names if nm == "log_lambda")
+        assert edf > len(res.par) - n_lambda  # smooth adds effective df
+        aic_c = sde.AIC_conditional()
+        aic_m = sde.AIC_marginal()
+        assert np.isfinite(aic_c) and np.isfinite(aic_m)
+
+    def test_post_coeff_and_par(self, fitted):
+        sde, *_ = fitted
+        post = sde.post_coeff(50, rng=np.random.default_rng(1))
+        assert post["coeff_fe"].shape == (50, len(sde.coeff_fe()))
+        assert post["coeff_re"].shape == (50, len(sde.coeff_re()))
+        mats = sde.make_mat()
+        pp = sde.post_par(mats["X_fe"], mats["X_re"], n_post=10,
+                          rng=np.random.default_rng(2))
+        assert pp.shape == (sde.n_obs(), 2, 10)
+
+    def test_simulate_round_trip(self, fitted):
+        sde, *_ = fitted
+        sim = sde.simulate(rng=np.random.default_rng(3))
+        assert np.all(np.isfinite(sim["z"]))
+        assert len(sim["z"]) == sde.n_obs()
+        sim_post = sde.simulate(posterior=True, rng=np.random.default_rng(4))
+        assert np.all(np.isfinite(sim_post["z"]))
+
+    def test_plot_par(self, fitted):
+        sde, *_ = fitted
+        fig = sde.plot_par("x1", n_post=5, rng=np.random.default_rng(5))
+        assert fig is not None
+        fig2 = sde.plot_par("x1", show_CI="pointwise", n_post=50,
+                            rng=np.random.default_rng(6))
+        assert fig2 is not None
+
+    def test_print_paths(self, fitted, capsys):
+        sde, *_ = fitted
+        sde.print()
+        out = capsys.readouterr().out
+        assert "BM model" in out and "sigma" in out
+
+
+class TestFixpar:
+    def test_fixpar_pins_parameter(self):
+        rng = np.random.default_rng(11)
+        n = 500
+        times = np.arange(n, dtype=float)
+        z = np.cumsum(0.3 + rng.normal(size=n) * 0.5)
+        data = {"ID": np.zeros(n, int), "time": times, "z": z}
+        sde = SDE(
+            data=data, type="BM", response="z",
+            par0=[0.0, 1.0], fixpar=["mu"],
+        )
+        res = sde.fit()
+        # mu stays at its initial (0); sigma estimated
+        assert np.isclose(sde.par(t=0)[0, 0], 0.0)
+        assert "coeff_fe" in res.par_names
+        assert len([n_ for n_ in res.par_names if n_ == "coeff_fe"]) == 1
+
+
+class TestOUFit:
+    def test_ou_constant_recovery(self):
+        rng = np.random.default_rng(21)
+        n = 3000
+        dt = 0.3
+        times = np.arange(n) * dt
+        mu_t, tau_t, kappa_t = 1.0, 2.0, 0.5
+        x = np.zeros(n)
+        for i in range(1, n):
+            e = np.exp(-dt / tau_t)
+            x[i] = mu_t + e * (x[i - 1] - mu_t) + rng.normal() * np.sqrt(
+                kappa_t * (1 - e * e)
+            )
+        data = {"ID": np.zeros(n, int), "time": times, "z": x}
+        sde = SDE(data=data, type="OU", response="z", par0=[0.5, 1.0, 1.0])
+        res = sde.fit()
+        assert res.convergence == 0
+        est = sde.par(t=0)[0]
+        assert abs(est[0] - mu_t) < 0.2
+        assert abs(est[1] - tau_t) / tau_t < 0.3
+        assert abs(est[2] - kappa_t) / kappa_t < 0.3
