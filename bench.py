@@ -23,8 +23,7 @@ def main():
     backend = jax.default_backend()
     dtype = jnp.float32
 
-    from smoothsde_tpu.models.ssm import ctcrw_steps
-    from smoothsde_tpu.ops.kalman import kalman_filter_parallel
+    from smoothsde_tpu.ops.kalman_soa import ctcrw_loglik_soa
 
     rng = np.random.default_rng(0)
     n = N_STEPS
@@ -39,10 +38,9 @@ def main():
 
     def nllk(theta):
         par = jnp.broadcast_to(theta, (n, 4))
-        steps = ctcrw_steps(
+        return -ctcrw_loglik_soa(
             par, obs_j, times_j, ids, sigma_obs=jnp.asarray(0.1, dtype)
         )
-        return -kalman_filter_parallel(steps)[0]
 
     fn = jax.jit(jax.value_and_grad(nllk))
 

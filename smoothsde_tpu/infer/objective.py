@@ -263,8 +263,61 @@ def build_objective(
                     H_array=H_array, P0=P0,
                 )
 
-            def loglik(full):
-                return kalman_loglik(_steps(full), impl=kalman_impl)
+            if H_array is None and P0 is None:
+                # Isotropic observation noise, default init: the filter
+                # factorizes exactly across response dims. Use the
+                # structure-of-arrays kernels (ops/kalman_soa.py) on TPU
+                # — elementwise VPU math with a blocked scan — and the
+                # sequential per-dim scan on CPU (whose vjp is solid,
+                # see ops/kalman.py on the XLA:CPU associative-scan
+                # bug).
+                from smoothsde_tpu.models.ssm import (
+                    ctcrw_steps_perdim,
+                    diag_ssm_steps_perdim,
+                )
+                from smoothsde_tpu.ops.kalman import (
+                    default_filter_impl,
+                    kalman_loglik_batched,
+                )
+                from smoothsde_tpu.ops.kalman_soa import (
+                    ctcrw_loglik_soa,
+                    diag_ssm_loglik_soa,
+                )
+
+                def loglik(full):
+                    impl = kalman_impl
+                    if impl == "auto":
+                        impl = (
+                            "soa"
+                            if default_filter_impl() == "parallel"
+                            else "sequential"
+                        )
+                    sobs = jnp.exp(full["log_sigma_obs"][0])
+                    if impl == "soa":
+                        if spec.type == "CTCRW":
+                            return ctcrw_loglik_soa(
+                                par_matrix(full), obs_j, times_j, ids_j,
+                                sigma_obs=sobs,
+                            )
+                        return diag_ssm_loglik_soa(
+                            spec.type, par_matrix(full), obs_j, times_j,
+                            ids_j, sigma_obs=sobs,
+                        )
+                    if spec.type == "CTCRW":
+                        steps = ctcrw_steps_perdim(
+                            par_matrix(full), obs_j, times_j, ids_j,
+                            sigma_obs=sobs, P0=P0,
+                        )
+                    else:
+                        steps = diag_ssm_steps_perdim(
+                            spec.type, par_matrix(full), obs_j, times_j,
+                            ids_j, sigma_obs=sobs, P0=P0,
+                        )
+                    return kalman_loglik_batched(steps, impl=impl)
+
+            else:
+                def loglik(full):
+                    return kalman_loglik(_steps(full), impl=kalman_impl)
 
         def filter_states(full):
             from smoothsde_tpu.ops.kalman import kalman_loglik_sequential

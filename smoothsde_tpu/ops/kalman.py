@@ -356,6 +356,21 @@ def kalman_loglik(steps: KalmanSteps, impl: str = "auto"):
     raise ValueError(f"unknown Kalman impl {impl!r}")
 
 
+def kalman_loglik_batched(steps: KalmanSteps, impl: str = "auto"):
+    """Total log-likelihood over a batch of independent sequences
+    (leading axis on every leaf — per-dimension block-diagonal
+    factorization or per-track batching). vmap + sum."""
+    if impl == "auto":
+        impl = default_filter_impl()
+    if impl == "sequential":
+        fn = lambda s: kalman_loglik_sequential(s)[0]  # noqa: E731
+    elif impl == "parallel":
+        fn = lambda s: kalman_filter_parallel(s)[0]  # noqa: E731
+    else:
+        raise ValueError(f"unknown Kalman impl {impl!r}")
+    return jnp.sum(jax.vmap(fn)(steps))
+
+
 def filtered_to_reported_states(steps: KalmanSteps, m_f: jax.Array):
     """Convert filtered means to the reference's aest_all convention
     (propagated one step forward; a0 at resets), nllk_ctcrw.hpp:230-246."""

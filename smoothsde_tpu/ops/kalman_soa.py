@@ -1,0 +1,371 @@
+"""Structure-of-arrays (SoA) parallel Kalman filters for the per-dim
+small-state models: CTCRW (state = (position, velocity), scalar obs)
+and BM/OU SSM (scalar state, scalar obs).
+
+Why this exists: the generic filter in ops/kalman.py stores per-step
+matrices as (n, s, s) arrays. On TPU the trailing (s, s) = (2, 2) dims
+land on the 8x128 vector registers and waste ~98% of each lane tile;
+measured cost at n = 100k was ~46 ms/filter pass. Here every matrix
+component is its own (..., n) array (structure-of-arrays), so every
+operation in the associative-scan combine is an elementwise VPU op over
+the step axis — the layout the hardware actually wants. The math is the
+same associative filtering-element algebra as ops/kalman.py (and is
+tested to match it exactly); the reference semantics mirrored are the
+Kalman loops of nllk_ctcrw.hpp:195-247 / nllk_bm_ssm.hpp:127-175 /
+nllk_ou_ssm.hpp:163-213 with per-dim factorization of the isotropic
+models.
+
+Elements are pytrees of nested tuples of arrays; the scan axis is the
+LAST axis of every leaf.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+# ---- 2x2 tuple algebra (components are arrays, elementwise ops) ----
+
+
+def _m2(X, Y):
+    return (
+        (
+            X[0][0] * Y[0][0] + X[0][1] * Y[1][0],
+            X[0][0] * Y[0][1] + X[0][1] * Y[1][1],
+        ),
+        (
+            X[1][0] * Y[0][0] + X[1][1] * Y[1][0],
+            X[1][0] * Y[0][1] + X[1][1] * Y[1][1],
+        ),
+    )
+
+
+def _mv(X, v):
+    return (
+        X[0][0] * v[0] + X[0][1] * v[1],
+        X[1][0] * v[0] + X[1][1] * v[1],
+    )
+
+
+def _t2(X):
+    return ((X[0][0], X[1][0]), (X[0][1], X[1][1]))
+
+
+def _madd(X, Y):
+    return (
+        (X[0][0] + Y[0][0], X[0][1] + Y[0][1]),
+        (X[1][0] + Y[1][0], X[1][1] + Y[1][1]),
+    )
+
+
+def _vadd(u, v):
+    return (u[0] + v[0], u[1] + v[1])
+
+
+def _vsub(u, v):
+    return (u[0] - v[0], u[1] - v[1])
+
+
+def _inv2(X):
+    det = X[0][0] * X[1][1] - X[0][1] * X[1][0]
+    return (
+        (X[1][1] / det, -X[0][1] / det),
+        (-X[1][0] / det, X[0][0] / det),
+    )
+
+
+def _symm(X):
+    off = 0.5 * (X[0][1] + X[1][0])
+    return ((X[0][0], off), (off, X[1][1]))
+
+
+class Element2(NamedTuple):
+    """SoA filtering element for state dim 2."""
+
+    A: tuple
+    b: tuple
+    C: tuple
+    eta: tuple
+    J: tuple
+
+
+def _combine2(e1: Element2, e2: Element2) -> Element2:
+    CJ = _m2(e1.C, e2.J)
+    G = ((1.0 + CJ[0][0], CJ[0][1]), (CJ[1][0], 1.0 + CJ[1][1]))
+    M = _inv2(G)
+    A2M = _m2(e2.A, M)
+    A = _m2(A2M, e1.A)
+    b = _vadd(_mv(A2M, _vadd(e1.b, _mv(e1.C, e2.eta))), e2.b)
+    C = _symm(_madd(_m2(_m2(A2M, e1.C), _t2(e2.A)), e2.C))
+    Nt = _t2(M)
+    A1tN = _m2(_t2(e1.A), Nt)
+    eta = _vadd(_mv(A1tN, _vsub(e2.eta, _mv(e2.J, e1.b))), e1.eta)
+    J = _symm(_madd(_m2(_m2(A1tN, e2.J), e1.A), e1.J))
+    return Element2(A, b, C, eta, J)
+
+
+def _wh(cond, X, Y):
+    """jnp.where over matching nested tuples."""
+    if isinstance(X, tuple):
+        return tuple(_wh(cond, x, y) for x, y in zip(X, Y))
+    return jnp.where(cond, X, Y)
+
+
+_ID2 = Element2(
+    A=((1.0, 0.0), (0.0, 1.0)),
+    b=(0.0, 0.0),
+    C=((0.0, 0.0), (0.0, 0.0)),
+    eta=(0.0, 0.0),
+    J=((0.0, 0.0), (0.0, 0.0)),
+)
+
+
+def _scan_elements(combine, identity, elem, scan: str):
+    """Scan dispatch: 'blocked' two-phase lax.scan (TPU-fast, see
+    ops/scan_utils.py) or plain 'associative'."""
+    from smoothsde_tpu.ops.scan_utils import blocked_associative_scan
+
+    if scan == "auto":
+        scan = "blocked"
+    if scan == "blocked":
+        return blocked_associative_scan(combine, identity, elem)
+    return jax.lax.associative_scan(combine, elem, axis=-1)
+
+
+def ctcrw_loglik_soa(par_mat, obs, times, ids, sigma_obs, p0_pos=1.0,
+                     p0_vel=10.0, scan: str = "auto"):
+    """Total CTCRW log-likelihood via the SoA associative-scan filter.
+
+    par_mat: (n, d+2) working scale (mu_1..mu_d, log tau, log nu);
+    obs: (n, d) with NaN missing rows (first-response check, as in the
+    reference); sigma_obs scalar measurement SD. Matches
+    kalman.kalman_loglik on ctcrw_steps to fp tolerance.
+    """
+    obs = jnp.asarray(obs)
+    times = jnp.asarray(times)
+    ids = jnp.asarray(ids)
+    n, n_dim = obs.shape
+    dtype = par_mat.dtype
+
+    dt = jnp.concatenate([jnp.diff(times), jnp.ones((1,), times.dtype)])
+    reset = jnp.concatenate([jnp.ones((1,), bool), ids[1:] != ids[:-1]])
+    valid = jnp.isfinite(obs[:, 0])
+    y = jnp.nan_to_num(obs, nan=0.0)  # (n, d)
+
+    mu = par_mat[:, :n_dim]  # (n, d)
+    tau = jnp.exp(par_mat[:, n_dim])
+    nu = jnp.exp(par_mat[:, n_dim + 1])
+    beta = 1.0 / tau
+    sigma2 = 4.0 * nu * nu / (jnp.pi * tau)  # sigma^2
+
+    e1 = jnp.exp(-beta * dt)
+    e2 = e1 * e1
+    g = (1.0 - e1) / beta
+    # per-step transition (propagates i -> i+1), shared across dims
+    t00 = jnp.ones_like(e1)
+    t01 = g
+    t11 = e1
+    q00 = sigma2 / (beta * beta) * (dt - 2.0 * g + (1.0 - e2) / (2.0 * beta))
+    q01 = sigma2 / (2.0 * beta * beta) * (1.0 - 2.0 * e1 + e2)
+    q11 = sigma2 / (2.0 * beta) * (1.0 - e2)
+    bp = (dt - g)[None, :] * mu.T  # (d, n) position drift
+    bv = (1.0 - e1)[None, :] * mu.T  # velocity drift
+
+    h = jnp.asarray(sigma_obs, dtype) ** 2
+
+    # ---- shift to "transition entering step i" and mask resets ----
+    def shift(x, fill=0.0):
+        return jnp.concatenate(
+            [jnp.full(x.shape[:-1] + (1,), fill, x.dtype), x[..., :-1]],
+            axis=-1,
+        )
+
+    prev_reset = jnp.concatenate([jnp.ones((1,), bool), reset[:-1]])
+    no_prop = prev_reset  # identity transition out of a reset
+    Ft = (
+        (jnp.where(no_prop, 1.0, shift(t00, 1.0)),
+         jnp.where(no_prop, 0.0, shift(t01))),
+        (jnp.zeros_like(t00),
+         jnp.where(no_prop, 1.0, shift(t11, 1.0))),
+    )
+    Qt = (
+        (jnp.where(no_prop, 0.0, shift(q00)),
+         jnp.where(no_prop, 0.0, shift(q01))),
+        (jnp.where(no_prop, 0.0, shift(q01)),
+         jnp.where(no_prop, 0.0, shift(q11))),
+    )
+    ct = (
+        jnp.where(no_prop, 0.0, shift(bp)),  # (d, n)
+        jnp.where(no_prop, 0.0, shift(bv)),
+    )
+
+    yd = y.T  # (d, n)
+    update = valid & (~reset)
+
+    # ---- measurement-update element (Z = [1, 0], scalar S) ----
+    S = Qt[0][0] + h
+    K0 = Qt[0][0] / S
+    K1 = Qt[1][0] / S
+    r = yd - ct[0]  # innovation against drift (d, n)
+    A_upd = (
+        ((1.0 - K0) * Ft[0][0], (1.0 - K0) * Ft[0][1]),
+        (Ft[1][0] - K1 * Ft[0][0], Ft[1][1] - K1 * Ft[0][1]),
+    )
+    b_upd = (ct[0] + K0 * r, ct[1] + K1 * r)
+    C_upd = (
+        ((1.0 - K0) * Qt[0][0], (1.0 - K0) * Qt[0][1]),
+        (Qt[1][0] - K1 * Qt[0][0], Qt[1][1] - K1 * Qt[0][1]),
+    )
+    # Ft' Z' = first row of Ft
+    f0, f1 = Ft[0][0], Ft[0][1]
+    eta_upd = (f0 * r / S, f1 * r / S)
+    J_upd = (
+        (f0 * f0 / S, f0 * f1 / S),
+        (f0 * f1 / S, f1 * f1 / S),
+    )
+
+    # ---- three-way select: reset / propagate-only / update ----
+    zero = jnp.zeros_like(yd)
+    a0_pos = jnp.where(reset, yd, 0.0)
+    elem = Element2(
+        A=_wh(
+            reset,
+            ((zero, zero), (zero, zero)),
+            _wh(update, A_upd, Ft),
+        ),
+        b=_wh(reset, (a0_pos, zero), _wh(update, b_upd, ct)),
+        C=_wh(
+            reset,
+            ((jnp.full_like(yd, p0_pos), zero),
+             (zero, jnp.full_like(yd, p0_vel))),
+            _wh(update, C_upd, Qt),
+        ),
+        eta=_wh(update & (~reset), eta_upd, (zero, zero)),
+        J=_wh(
+            update & (~reset),
+            J_upd,
+            ((zero, zero), (zero, zero)),
+        ),
+    )
+
+    scanned = _scan_elements(_combine2, _ID2, elem, scan)
+    m0, m1 = scanned.b
+    P00, P01 = scanned.C[0]
+    _, P11 = scanned.C[1]
+
+    # ---- elementwise predictive likelihood recovery ----
+    m0p = shift(m0)
+    m1p = shift(m1)
+    P00p = shift(P00)
+    P01p = shift(P01)
+    P11p = shift(P11)
+    a_pred0 = Ft[0][0] * m0p + Ft[0][1] * m1p + ct[0]
+    # P_pred[0,0] = row0(Ft) P_prev row0(Ft)' + Qt00
+    Pp00 = (
+        Ft[0][0] * (Ft[0][0] * P00p + Ft[0][1] * P01p)
+        + Ft[0][1] * (Ft[0][0] * P01p + Ft[0][1] * P11p)
+        + Qt[0][0]
+    )
+    a_pred0 = jnp.where(reset, yd, a_pred0)  # unused at resets
+    Pp00 = jnp.where(reset, p0_pos, Pp00)
+    F = Pp00 + h
+    u = yd - a_pred0
+    llk_terms = jnp.where(update, -0.5 * (jnp.log(F) + u * u / F), 0.0)
+    return jnp.sum(llk_terms)
+
+
+def diag_ssm_loglik_soa(type, par_mat, obs, times, ids, sigma_obs,
+                        p0=10.0, scan: str = "auto"):
+    """BM_SSM / OU_SSM log-likelihood via a scalar-state SoA filter.
+
+    State dim 1: the filtering element reduces to 5 scalars with
+    closed-form combine. Matches the generic filter to fp tolerance.
+    """
+    obs = jnp.asarray(obs)
+    times = jnp.asarray(times)
+    ids = jnp.asarray(ids)
+    n, n_dim = obs.shape
+    dtype = par_mat.dtype
+
+    dt = jnp.concatenate([jnp.diff(times), jnp.ones((1,), times.dtype)])
+    reset = jnp.concatenate([jnp.ones((1,), bool), ids[1:] != ids[:-1]])
+    valid = jnp.isfinite(obs[:, 0])
+    y = jnp.nan_to_num(obs, nan=0.0)
+
+    mu = par_mat[:, :n_dim]
+    if type == "BM_SSM":
+        sigma = jnp.exp(par_mat[:, n_dim])
+        t_s = jnp.ones_like(sigma)
+        b_s = dt[None, :] * mu.T
+        q_s = sigma**2 * dt
+    elif type == "OU_SSM":
+        tau = jnp.exp(par_mat[:, n_dim])
+        kappa = jnp.exp(par_mat[:, n_dim + 1])
+        decay = jnp.exp(-dt / tau)
+        t_s = decay
+        b_s = (1.0 - decay)[None, :] * mu.T
+        q_s = kappa * (1.0 - decay**2)
+    else:
+        raise ValueError(type)
+    h = jnp.asarray(sigma_obs, dtype) ** 2
+
+    def shift(x, fill=0.0):
+        return jnp.concatenate(
+            [jnp.full(x.shape[:-1] + (1,), fill, x.dtype), x[..., :-1]],
+            axis=-1,
+        )
+
+    prev_reset = jnp.concatenate([jnp.ones((1,), bool), reset[:-1]])
+    Ft = jnp.where(prev_reset, 1.0, shift(t_s, 1.0))
+    Qt = jnp.where(prev_reset, 0.0, shift(q_s))
+    ct = jnp.where(prev_reset, 0.0, shift(b_s))
+
+    yd = y.T
+    update = valid & (~reset)
+
+    S = Qt + h
+    K = Qt / S
+    r = yd - ct
+    A_upd = (1.0 - K) * Ft
+    b_upd = ct + K * r
+    C_upd = (1.0 - K) * Qt
+    eta_upd = Ft * r / S
+    J_upd = Ft * Ft / S
+
+    zero = jnp.zeros_like(yd)
+    # broadcast dim-independent components to (d, n): associative_scan
+    # needs identical leaf shapes
+    bc = lambda x: jnp.broadcast_to(x, yd.shape)  # noqa: E731
+    A = bc(jnp.where(reset, 0.0, jnp.where(update, A_upd, Ft)))
+    b = jnp.where(reset, yd, jnp.where(update, b_upd, ct))
+    C = bc(jnp.where(reset, p0, jnp.where(update, C_upd, Qt)))
+    eta = jnp.where(update, eta_upd, zero)
+    J = bc(jnp.where(update, J_upd, zero))
+
+    def combine(e1, e2):
+        A1, b1, C1, eta1, J1 = e1
+        A2, b2, C2, eta2, J2 = e2
+        M = 1.0 / (1.0 + C1 * J2)
+        A2M = A2 * M
+        return (
+            A2M * A1,
+            A2M * (b1 + C1 * eta2) + b2,
+            A2M * C1 * A2 + C2,
+            A1 * M * (eta2 - J2 * b1) + eta1,
+            A1 * M * J2 * A1 + J1,
+        )
+
+    Af, bf, Cf, _, _ = _scan_elements(
+        combine, (1.0, 0.0, 0.0, 0.0, 0.0), (A, b, C, eta, J), scan
+    )
+    m_prev = shift(bf)
+    P_prev = shift(Cf)
+    a_pred = jnp.where(reset, yd, Ft * m_prev + ct)
+    P_pred = jnp.where(reset, p0, Ft * Ft * P_prev + Qt)
+    F = P_pred + h
+    u = yd - a_pred
+    llk_terms = jnp.where(update, -0.5 * (jnp.log(F) + u * u / F), 0.0)
+    return jnp.sum(llk_terms)

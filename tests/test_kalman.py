@@ -196,3 +196,95 @@ class TestModelBuilders:
         assert np.isclose(float(steps.Q[0, 0, 0]), 2.0, rtol=1e-6)
         assert float(steps.T[0, 0, 0]) < 1e-8
         assert np.isclose(float(steps.b[0, 0]), 1.0, rtol=1e-6)
+
+
+class TestPerDimFastPath:
+    def test_ctcrw_perdim_matches_full(self):
+        import jax
+        from smoothsde_tpu.models.ssm import ctcrw_steps_perdim
+        from smoothsde_tpu.ops.kalman import kalman_loglik_batched
+
+        rng = np.random.default_rng(10)
+        n = 200
+        times = np.cumsum(rng.uniform(0.2, 0.8, size=n))
+        ids = np.sort(rng.integers(0, 3, size=n))
+        obs = np.cumsum(rng.normal(size=(n, 2)) * 0.3, axis=0)
+        obs[50] = np.nan
+        par = jnp.asarray(
+            np.column_stack([
+                rng.normal(size=n) * 0.1,
+                rng.normal(size=n) * 0.1,
+                np.log(2.0) + rng.normal(size=n) * 0.05,
+                np.log(1.0) + rng.normal(size=n) * 0.05,
+            ])
+        )
+        full = ctcrw_steps(par, jnp.asarray(obs), jnp.asarray(times), ids, sigma_obs=0.2)
+        llk_full, _ = kalman_loglik_sequential(full)
+        perdim = ctcrw_steps_perdim(par, jnp.asarray(obs), jnp.asarray(times), ids, sigma_obs=0.2)
+        llk_pd = kalman_loglik_batched(perdim, impl="sequential")
+        assert np.isclose(float(llk_full), float(llk_pd), rtol=1e-10)
+        llk_pd_par = kalman_loglik_batched(perdim, impl="parallel")
+        assert np.isclose(float(llk_full), float(llk_pd_par), rtol=1e-8)
+
+    def test_diag_ssm_perdim_matches_full(self):
+        from smoothsde_tpu.models.ssm import diag_ssm_steps_perdim
+        from smoothsde_tpu.ops.kalman import kalman_loglik_batched
+
+        rng = np.random.default_rng(11)
+        n = 150
+        times = np.cumsum(rng.uniform(0.2, 0.8, size=n))
+        ids = np.sort(rng.integers(0, 2, size=n))
+        obs = np.cumsum(rng.normal(size=(n, 3)) * 0.3, axis=0)
+        for type, n_par in (("BM_SSM", 4), ("OU_SSM", 5)):
+            par = jnp.asarray(rng.normal(size=(n, n_par)) * 0.2)
+            builder = bm_ssm_steps if type == "BM_SSM" else ou_ssm_steps
+            full = builder(par, jnp.asarray(obs), jnp.asarray(times), ids, sigma_obs=0.3)
+            llk_full, _ = kalman_loglik_sequential(full)
+            perdim = diag_ssm_steps_perdim(type, par, jnp.asarray(obs), jnp.asarray(times), ids, sigma_obs=0.3)
+            llk_pd = kalman_loglik_batched(perdim, impl="sequential")
+            assert np.isclose(float(llk_full), float(llk_pd), rtol=1e-10), type
+
+
+class TestSoAFilters:
+    def test_ctcrw_soa_matches_generic(self):
+        from smoothsde_tpu.ops.kalman_soa import ctcrw_loglik_soa
+
+        rng = np.random.default_rng(20)
+        n = 300
+        times = np.cumsum(rng.uniform(0.2, 0.8, size=n))
+        ids = np.sort(rng.integers(0, 4, size=n))
+        obs = np.cumsum(rng.normal(size=(n, 2)) * 0.3, axis=0)
+        obs[40] = np.nan
+        obs[41] = np.nan
+        par = jnp.asarray(
+            np.column_stack([
+                rng.normal(size=n) * 0.2,
+                rng.normal(size=n) * 0.2,
+                np.log(2.0) + rng.normal(size=n) * 0.1,
+                np.log(1.0) + rng.normal(size=n) * 0.1,
+            ])
+        )
+        full = ctcrw_steps(par, jnp.asarray(obs), jnp.asarray(times), ids,
+                           sigma_obs=0.2)
+        llk_ref, _ = kalman_loglik_sequential(full)
+        llk_soa = ctcrw_loglik_soa(par, obs, times, ids, sigma_obs=0.2)
+        assert np.isclose(float(llk_ref), float(llk_soa), rtol=1e-10)
+
+    def test_diag_ssm_soa_matches_generic(self):
+        from smoothsde_tpu.ops.kalman_soa import diag_ssm_loglik_soa
+
+        rng = np.random.default_rng(21)
+        n = 200
+        times = np.cumsum(rng.uniform(0.2, 0.8, size=n))
+        ids = np.sort(rng.integers(0, 3, size=n))
+        obs = np.cumsum(rng.normal(size=(n, 2)) * 0.3, axis=0)
+        obs[70] = np.nan
+        for type, n_par in (("BM_SSM", 3), ("OU_SSM", 4)):
+            par = jnp.asarray(rng.normal(size=(n, n_par)) * 0.2)
+            builder = bm_ssm_steps if type == "BM_SSM" else ou_ssm_steps
+            full = builder(par, jnp.asarray(obs), jnp.asarray(times), ids,
+                           sigma_obs=0.3)
+            llk_ref, _ = kalman_loglik_sequential(full)
+            llk_soa = diag_ssm_loglik_soa(type, par, obs, times, ids,
+                                          sigma_obs=0.3)
+            assert np.isclose(float(llk_ref), float(llk_soa), rtol=1e-10), type

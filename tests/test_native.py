@@ -1,0 +1,78 @@
+"""Native runtime (C++ data pipeline) vs numpy fallbacks."""
+
+import numpy as np
+import pytest
+
+from smoothsde_tpu.utils import native
+
+
+@pytest.fixture(scope="module")
+def csv_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("data") / "tracks.csv"
+    p.write_text(
+        "ID,time,x,y\n"
+        "b,0.0,1.5,2.5\n"
+        "b,1.0,NA,3.5\n"
+        "a,0.0,0.1,0.2\n"
+        "a,0.5,0.3,\n"
+        "a,1.5,0.5,0.6\n"
+    )
+    return str(p)
+
+
+class TestCsv:
+    def test_read_csv(self, csv_file):
+        out = native.read_csv(csv_file)
+        assert set(out) >= {"time", "x", "y", "ID", "__ID_codes__"}
+        # sorted levels: a=0, b=1 (R factor semantics)
+        assert out["__ID_codes__"].tolist() == [1, 1, 0, 0, 0]
+        assert np.isnan(out["x"][1])
+        assert np.isnan(out["y"][3])
+        assert out["time"].tolist() == [0.0, 1.0, 0.0, 0.5, 1.5]
+
+    def test_native_matches_numpy_fallback(self, csv_file):
+        if not native.native_available():
+            pytest.skip("native library not built")
+        a = native.read_csv(csv_file)
+        b = native._read_csv_numpy(csv_file, ",", "ID")
+        for k in ("time", "x", "y"):
+            assert np.allclose(a[k], b[k], equal_nan=True)
+        assert a["__ID_codes__"].tolist() == b["__ID_codes__"].tolist()
+
+
+class TestSegmentsAndPacking:
+    def test_track_segments(self):
+        ids = np.array([0, 0, 1, 1, 1, 2])
+        starts, lengths = native.track_segments(ids)
+        assert starts.tolist() == [0, 2, 5]
+        assert lengths.tolist() == [2, 3, 1]
+
+    def test_pack_matches_python_packer(self):
+        from smoothsde_tpu.parallel.batching import pack_tracks
+
+        rng = np.random.default_rng(0)
+        n = 300
+        ids = np.sort(rng.integers(0, 4, size=n))
+        times = np.cumsum(rng.uniform(0.1, 1.0, size=n))
+        obs = rng.normal(size=(n, 2))
+        obs_p, t_p, lengths = native.pack_tracks_native(
+            obs, times, ids, pad_multiple=32
+        )
+        ref = pack_tracks(obs, times, ids, pad_multiple=32)
+        assert np.allclose(obs_p, np.asarray(ref.obs), equal_nan=True)
+        assert np.allclose(t_p, np.asarray(ref.times))
+        assert lengths.tolist() == np.asarray(ref.lengths).tolist()
+
+
+class TestCrDesign:
+    def test_matches_python(self):
+        from smoothsde_tpu.formula.smooths import CRSmooth, _cr_design
+
+        rng = np.random.default_rng(1)
+        x = rng.uniform(0, 5, 200)
+        sm = CRSmooth("s(x)", x, k=8)
+        st = sm._state
+        x_new = np.concatenate([x, [-1.0, 6.0]])  # incl. extrapolation
+        X_py = _cr_design(x_new, st.knots, st.F)
+        X_nat = native.cr_design_native(x_new, st.knots, st.F)
+        assert np.allclose(X_nat, X_py, atol=1e-9)
