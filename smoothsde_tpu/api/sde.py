@@ -910,6 +910,85 @@ class SDE:
         self.message()
         self.print_par()
 
+    # ------------------------------------------------------------------
+    # Checkpoint / resume (new scope vs the reference, whose R6 object
+    # is serialized by base R; SURVEY.md section 5)
+    # ------------------------------------------------------------------
+
+    def save_state(self, path: str):
+        """Save coefficient state + fit results to an .npz checkpoint."""
+        payload = {
+            "coeff_fe": self._coeff_fe,
+            "coeff_re": self._coeff_re,
+            "lambda": self._lambda,
+            "rho": self._rho,
+            "type": np.array(self._type),
+            "response": np.array(self._response),
+        }
+        res = self._fit_result
+        if res is not None:
+            payload.update(
+                fit_par=res.par,
+                fit_par_names=np.array(res.par_names),
+                fit_value=np.array(res.value),
+                fit_convergence=np.array(res.convergence),
+                fit_bhat=res.bhat,
+            )
+            if res.H_marg is not None:
+                payload["fit_H_marg"] = res.H_marg
+            if res.joint_precision is not None:
+                payload["fit_joint_precision"] = res.joint_precision
+                payload["fit_joint_names"] = np.array(res.joint_names)
+        np.savez(path, **payload)
+
+    def load_state(self, path: str):
+        """Restore a checkpoint written by save_state into this model
+        (the model must have been built with the same formulas/data
+        shapes)."""
+        from smoothsde_tpu.infer.fit import FitResult
+
+        z = np.load(path, allow_pickle=False)
+        if str(z["type"]) != self._type:
+            raise ValueError(
+                f"checkpoint is for type {z['type']}, model is {self._type}"
+            )
+        self._coeff_fe = np.asarray(z["coeff_fe"])
+        self._coeff_re = np.asarray(z["coeff_re"])
+        self._lambda = np.asarray(z["lambda"])
+        self._rho = np.asarray(z["rho"])
+        self._bundle = None
+        if "fit_par" in z:
+            self._fit_result = FitResult(
+                par=np.asarray(z["fit_par"]),
+                par_names=[str(s) for s in z["fit_par_names"]],
+                value=float(z["fit_value"]),
+                convergence=int(z["fit_convergence"]),
+                counts={},
+                systime=0.0,
+                message="restored from checkpoint",
+                bhat=np.asarray(z["fit_bhat"]),
+                inner_names=["coeff_re"] * len(np.asarray(z["fit_bhat"])),
+                H_marg=(
+                    np.asarray(z["fit_H_marg"]) if "fit_H_marg" in z else None
+                ),
+                cov_fixed=(
+                    prec_to_cov(np.asarray(z["fit_H_marg"]))
+                    if "fit_H_marg" in z
+                    else None
+                ),
+                joint_precision=(
+                    np.asarray(z["fit_joint_precision"])
+                    if "fit_joint_precision" in z
+                    else None
+                ),
+                joint_names=(
+                    [str(s) for s in z["fit_joint_names"]]
+                    if "fit_joint_names" in z
+                    else None
+                ),
+            )
+        return self
+
     def stationary(self):
         """Describe the stationary distribution (OU: normal, CIR: gamma),
         R/sde.R:1753-1795."""

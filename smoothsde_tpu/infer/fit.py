@@ -43,6 +43,7 @@ class FitResult:
     cov_fixed: Optional[np.ndarray] = None
     joint_precision: Optional[np.ndarray] = None
     joint_names: Optional[List[str]] = None
+    timings: Optional[dict] = None  # per-stage compile/steady wall-clock
 
 
 def fit_model(
@@ -52,8 +53,11 @@ def fit_model(
     compute_sdreport: bool = True,
     fd_step: float = 1e-4,
     verbose: bool = False,
+    profile_dir: Optional[str] = None,
 ) -> FitResult:
     from scipy import optimize
+
+    from smoothsde_tpu.utils.profiling import StageTimer, xla_trace
 
     packer = bundle.packer
     marginal = make_laplace(bundle.joint_nllk, packer)
@@ -63,12 +67,15 @@ def fit_model(
     b_warm = jnp.asarray(packer.inner_init())
 
     cache = {}
+    timer = StageTimer()
 
     def eval_at(x):
         nonlocal b_warm
         key = x.tobytes()
         if key not in cache:
-            (v, b), g = val_grad(jnp.asarray(x), b_warm)
+            with timer.stage("marginal_nllk_grad"):
+                (v, b), g = val_grad(jnp.asarray(x), b_warm)
+                v.block_until_ready()
             if np.isfinite(float(v)):
                 b_warm = b
             cache.clear()
@@ -76,23 +83,31 @@ def fit_model(
         return cache[key]
 
     t0 = time.time()
-    res = optimize.minimize(
-        fun=lambda x: eval_at(x)[0],
-        x0=x0,
-        jac=lambda x: eval_at(x)[1],
-        method=method,
-        options={"maxiter": maxiter, "disp": verbose},
-    )
+    with xla_trace(profile_dir):
+        res = optimize.minimize(
+            fun=lambda x: eval_at(x)[0],
+            x0=x0,
+            jac=lambda x: eval_at(x)[1],
+            method=method,
+            options={"maxiter": maxiter, "disp": verbose},
+        )
     systime = time.time() - t0
 
     x_hat = np.asarray(res.x, float)
     v_hat, g_hat, b_hat = eval_at(x_hat)
 
+    # scipy BFGS reports "precision loss" when the line search stalls at
+    # the optimum; treat a small gradient as converged regardless
+    # (optim's BFGS would report 0 here).
+    converged = bool(res.success) or (
+        np.isfinite(v_hat) and np.max(np.abs(g_hat)) < 1e-3
+    )
+
     out = FitResult(
         par=x_hat,
         par_names=packer.outer_names(),
         value=v_hat,
-        convergence=int(not res.success),
+        convergence=int(not converged),
         counts={"function": int(res.nfev), "gradient": int(getattr(res, "njev", 0))},
         systime=systime,
         message=str(res.message),
@@ -100,6 +115,7 @@ def fit_model(
         inner_names=packer.inner_names(),
     )
     if not compute_sdreport:
+        out.timings = timer.summary()
         return out
 
     # ---- outer Hessian: central differences of the exact gradient ----
@@ -108,13 +124,14 @@ def fit_model(
     grad_only = jax.jit(
         lambda x, b0: jax.grad(lambda xx, bb: marginal(xx, bb)[0])(x, b0)
     )
-    for i in range(n_out):
-        h = fd_step * max(1.0, abs(x_hat[i]))
-        xp = x_hat.copy(); xp[i] += h
-        xm = x_hat.copy(); xm[i] -= h
-        gp = np.asarray(grad_only(jnp.asarray(xp), jnp.asarray(b_hat)))
-        gm = np.asarray(grad_only(jnp.asarray(xm), jnp.asarray(b_hat)))
-        H[i] = (gp - gm) / (2 * h)
+    with timer.stage("outer_hessian_fd"):
+        for i in range(n_out):
+            h = fd_step * max(1.0, abs(x_hat[i]))
+            xp = x_hat.copy(); xp[i] += h
+            xm = x_hat.copy(); xm[i] -= h
+            gp = np.asarray(grad_only(jnp.asarray(xp), jnp.asarray(b_hat)))
+            gm = np.asarray(grad_only(jnp.asarray(xm), jnp.asarray(b_hat)))
+            H[i] = (gp - gm) / (2 * h)
     H_marg = 0.5 * (H + H.T)
     out.H_marg = H_marg
     from smoothsde_tpu.utils.misc import prec_to_cov
@@ -129,11 +146,13 @@ def fit_model(
             return bundle.joint_nllk(full)
 
         z_hat = jnp.concatenate([jnp.asarray(x_hat), jnp.asarray(b_hat)])
-        J = np.asarray(jax.hessian(joint_vec)(z_hat))
+        with timer.stage("joint_precision"):
+            J = np.asarray(jax.hessian(joint_vec)(z_hat))
         J_tb = J[:n_out, n_out:]
         J_bb = J[n_out:, n_out:]
         top_left = H_marg + J_tb @ np.linalg.solve(J_bb, J_tb.T)
         Q = np.block([[top_left, J_tb], [J_tb.T, J_bb]])
         out.joint_precision = 0.5 * (Q + Q.T)
         out.joint_names = packer.outer_names() + packer.inner_names()
+    out.timings = timer.summary()
     return out

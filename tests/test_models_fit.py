@@ -1,0 +1,227 @@
+"""End-to-end simulation-recovery fits for every model family
+(driver.R-style, SURVEY.md section 4): BM_t, CIR, CTCRW, BM_SSM,
+OU_SSM, ESEAL_SSM. Closed-form BM/OU are covered in test_sde_api."""
+
+import numpy as np
+import pytest
+
+from smoothsde_tpu import SDE
+
+
+class TestBMt:
+    def test_fit_recovers_scale(self):
+        rng = np.random.default_rng(0)
+        n = 1500
+        dt = 0.5
+        df = 5.0
+        mu_t, sigma_t = 0.4, 1.2
+        scale = sigma_t / np.sqrt(df / (df - 2.0))
+        incr = mu_t * dt + scale * np.sqrt(dt) * rng.standard_t(df, size=n - 1)
+        z = np.concatenate([[0.0], np.cumsum(incr)])
+        data = {"ID": np.zeros(n, int), "time": np.arange(n) * dt, "z": z}
+        sde = SDE(
+            data=data, type="BM_t", response="z", par0=[0.0, 1.0],
+            other_data={"df": df},
+        )
+        res = sde.fit()
+        assert res.convergence == 0
+        est = sde.par(t=0)[0]
+        assert abs(est[0] - mu_t) < 0.2
+        assert abs(est[1] - sigma_t) / sigma_t < 0.2
+        # residuals path for BM_t
+        r = sde.residuals()
+        assert np.isfinite(r[np.isfinite(r)]).all()
+
+
+class TestCIR:
+    def test_fit_recovers_parameters(self):
+        rng = np.random.default_rng(1)
+        n = 1200
+        dt = 0.25
+        mu_t, beta_t, sigma_t = 2.0, 0.8, 0.5
+        x = np.empty(n)
+        x[0] = mu_t
+        for i in range(1, n):
+            c = 2 * beta_t / ((1 - np.exp(-beta_t * dt)) * sigma_t**2)
+            dfree = 4 * beta_t * mu_t / sigma_t**2
+            ncp = 2 * c * x[i - 1] * np.exp(-beta_t * dt)
+            x[i] = rng.noncentral_chisquare(dfree, ncp) / (2 * c)
+        data = {"ID": np.zeros(n, int), "time": np.arange(n) * dt, "z": x}
+        sde = SDE(
+            data=data, type="CIR", response="z", par0=[1.5, 1.0, 0.7]
+        )
+        res = sde.fit()
+        assert res.convergence == 0
+        est = sde.par(t=0)[0]
+        assert abs(est[0] - mu_t) / mu_t < 0.2
+        assert abs(est[1] - beta_t) / beta_t < 0.35
+        assert abs(est[2] - sigma_t) / sigma_t < 0.2
+        sde.stationary()
+
+
+class TestCTCRW:
+    def test_fit_2d_gps_track(self):
+        rng = np.random.default_rng(2)
+        n = 1200
+        dt = 0.5
+        tau_t, nu_t, sobs_t = 3.0, 1.0, 0.15
+        beta = 1.0 / tau_t
+        sigma = 2.0 * nu_t / np.sqrt(np.pi * tau_t)
+        v = np.zeros(2)
+        z = np.zeros(2)
+        obs = np.empty((n, 2))
+        obs[0] = z
+        for i in range(1, n):
+            e = np.exp(-beta * dt)
+            # exact joint (V, Z) draw
+            from smoothsde_tpu.utils.misc import ctcrw_cov
+
+            V = ctcrw_cov(beta, sigma, dt)
+            for d in range(2):
+                mean_v = e * v[d]
+                mean_z = z[d] + v[d] / beta * (1 - e)
+                draw = rng.multivariate_normal([mean_v, mean_z], V)
+                v[d], z[d] = draw
+            obs[i] = z + rng.normal(size=2) * sobs_t
+        data = {
+            "ID": np.zeros(n, int), "time": np.arange(n) * dt,
+            "y1": obs[:, 0], "y2": obs[:, 1],
+        }
+        sde = SDE(
+            data=data, type="CTCRW", response=["y1", "y2"],
+            par0=[0.0, 0.0, 2.0, 0.8],
+        )
+        res = sde.fit()
+        assert res.convergence == 0
+        est = sde.par(t=0)[0]
+        assert abs(est[2] - tau_t) / tau_t < 0.35
+        assert abs(est[3] - nu_t) / nu_t < 0.25
+        sobs_hat = np.exp(
+            res.par[res.par_names.index("log_sigma_obs")]
+        )
+        assert abs(sobs_hat - sobs_t) / sobs_t < 0.35
+
+
+class TestSSM:
+    def test_bm_ssm_fit(self):
+        rng = np.random.default_rng(3)
+        n = 1000
+        dt = 0.5
+        mu_t, sigma_t, sobs_t = 0.3, 0.8, 0.4
+        lat = np.concatenate(
+            [[0.0], np.cumsum(mu_t * dt + sigma_t * np.sqrt(dt) * rng.normal(size=n - 1))]
+        )
+        z = lat + rng.normal(size=n) * sobs_t
+        data = {"ID": np.zeros(n, int), "time": np.arange(n) * dt, "z": z}
+        sde = SDE(data=data, type="BM_SSM", response="z", par0=[0.0, 1.0])
+        res = sde.fit()
+        assert res.convergence == 0
+        est = sde.par(t=0)[0]
+        assert abs(est[0] - mu_t) < 0.3
+        assert abs(est[1] - sigma_t) / sigma_t < 0.3
+
+    def test_ou_ssm_fit_and_filtered_states(self):
+        rng = np.random.default_rng(4)
+        n = 1500
+        dt = 0.4
+        mu_t, tau_t, kappa_t, sobs_t = 1.0, 2.0, 0.6, 0.3
+        x = np.empty(n)
+        x[0] = mu_t
+        for i in range(1, n):
+            e = np.exp(-dt / tau_t)
+            x[i] = mu_t + e * (x[i - 1] - mu_t) + rng.normal() * np.sqrt(
+                kappa_t * (1 - e * e)
+            )
+        z = x + rng.normal(size=n) * sobs_t
+        data = {"ID": np.zeros(n, int), "time": np.arange(n) * dt, "z": z}
+        sde = SDE(
+            data=data, type="OU_SSM", response="z", par0=[0.5, 1.0, 1.0]
+        )
+        res = sde.fit()
+        assert res.convergence == 0
+        est = sde.par(t=0)[0]
+        assert abs(est[0] - mu_t) < 0.3
+        # filtered states track the latent process (REPORT(aest_all))
+        bundle = sde.bundle()
+        full = bundle.packer.unpack(res.par, res.bhat)
+        states = np.asarray(bundle.filter_states(full))
+        assert states.shape == (n, 1)
+        assert np.corrcoef(states[50:, 0], x[50:])[0, 1] > 0.9
+
+    def test_user_H_fixes_sigma_obs(self):
+        """other_data['H'] pins the measurement covariance and removes
+        log_sigma_obs from the estimated parameters (R/sde.R:563-568)."""
+        rng = np.random.default_rng(5)
+        n = 400
+        dt = 0.5
+        lat = np.cumsum(rng.normal(size=n)) * 0.5
+        z = lat + rng.normal(size=n) * 0.2
+        H = np.broadcast_to(np.eye(1) * 0.04, (n, 1, 1))
+        data = {"ID": np.zeros(n, int), "time": np.arange(n) * dt, "z": z}
+        sde = SDE(
+            data=data, type="BM_SSM", response="z", par0=[0.0, 0.5],
+            other_data={"H": H},
+        )
+        res = sde.fit()
+        assert "log_sigma_obs" not in res.par_names
+        assert res.convergence == 0
+
+
+class TestESEAL:
+    def test_fit_runs(self):
+        rng = np.random.default_rng(6)
+        n = 300
+        dt = 1.0
+        times = np.arange(n) * dt
+        mu_t, sigma_t = 0.02, 0.1
+        a1_t, a2_t, tau_t = -0.578, 1.214, 0.08
+        L = 60.0 + np.cumsum(mu_t * dt * 60.0 + rng.normal(size=n) * sigma_t)
+        R = np.full(n, 250.0)
+        h = np.full(n, 10.0)
+        z = a1_t + a2_t * L / R + rng.normal(size=n) * tau_t / np.sqrt(h)
+        data = {
+            "ID": np.zeros(n, int), "time": times, "z": z,
+        }
+        sde = SDE(
+            data=data, type="ESEAL_SSM", response="z",
+            other_data={
+                "h": h, "R": R, "dep_fat": np.full(n, L[0]),
+            },
+        )
+        res = sde.fit()
+        assert np.isfinite(res.value)
+        assert "log_tau" in res.par_names and "a1" in res.par_names
+
+
+class TestDecaySplines:
+    def test_decay_model_fits(self):
+        """Decaying-response spline (component 17): selected X_re columns
+        multiplied by exp(-rho * t_decay) with estimated rate."""
+        rng = np.random.default_rng(7)
+        n = 800
+        dt = 0.25
+        times = np.arange(n) * dt
+        x1 = np.linspace(0, 1, n)
+        # truth: mu response decays over time
+        effect = 0.8 * np.sin(2 * np.pi * x1) * np.exp(-0.05 * times)
+        z = np.concatenate(
+            [[0.0], np.cumsum(effect[:-1] * dt + 0.3 * np.sqrt(dt) * rng.normal(size=n - 1))]
+        )
+        data = {"ID": np.zeros(n, int), "time": times, "z": z, "x1": x1}
+        t_decay = np.tile(times, 2)  # (n_par = 2) x n stacked
+        sde = SDE(
+            formulas={"mu": "~s(x1, k=5, bs='ts')", "sigma": "~1"},
+            data=data, type="BM", response="z",
+            other_data={
+                "t_decay": t_decay,
+                "decay_term": "mu.s(x1)",
+                "ind_decay": [1, 1, 1, 1],
+            },
+        )
+        assert len(sde.other_data()["col_decay"]) == 4
+        res = sde.fit()
+        assert res.convergence == 0
+        assert "log_decay" in res.par_names
+        rho = sde.rho()
+        assert rho.shape == (1,)
+        assert np.isfinite(rho[0])

@@ -228,3 +228,35 @@ class TestOUFit:
         assert abs(est[0] - mu_t) < 0.2
         assert abs(est[1] - tau_t) / tau_t < 0.3
         assert abs(est[2] - kappa_t) / kappa_t < 0.3
+
+
+class TestCheckpoint:
+    def test_save_load_round_trip(self, tmp_path):
+        rng = np.random.default_rng(31)
+        n = 400
+        z = np.cumsum(0.2 + rng.normal(size=n) * 0.6)
+        data = {"ID": np.zeros(n, int), "time": np.arange(n, dtype=float), "z": z}
+        sde = SDE(data=data, type="BM", response="z")
+        res = sde.fit()
+        path = str(tmp_path / "ckpt.npz")
+        sde.save_state(path)
+
+        sde2 = SDE(data=data, type="BM", response="z")
+        sde2.load_state(path)
+        assert np.allclose(sde2.coeff_fe(), sde.coeff_fe())
+        assert np.allclose(sde2.par(t=0), sde.par(t=0))
+        # restored fit result supports UQ paths
+        CI = sde2.CI_pointwise(t=0, n_post=100, rng=np.random.default_rng(0))
+        assert np.all(np.isfinite(CI))
+        assert np.isfinite(sde2.AIC_conditional())
+
+    def test_timings_recorded(self):
+        rng = np.random.default_rng(32)
+        n = 200
+        z = np.cumsum(rng.normal(size=n))
+        data = {"ID": np.zeros(n, int), "time": np.arange(n, dtype=float), "z": z}
+        sde = SDE(data=data, type="BM", response="z")
+        res = sde.fit()
+        assert "marginal_nllk_grad" in res.timings
+        t = res.timings["marginal_nllk_grad"]
+        assert t["first_s"] >= t["steady_s"] * 0.5  # first includes compile
