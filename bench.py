@@ -17,8 +17,19 @@ TARGET_MS = 10.0
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # persistent compile cache: the blocked-scan kernels compile slowly
+    # through the TPU tunnel; cache across bench invocations
+    cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     backend = jax.default_backend()
     dtype = jnp.float32

@@ -20,7 +20,7 @@ from smoothsde_tpu import SDE  # noqa: E402
 from smoothsde_tpu.utils.misc import ctcrw_cov  # noqa: E402
 
 
-def simulate_track(n=4000, seed=7):
+def simulate_track(n=1200, seed=7):
     rng = np.random.default_rng(seed)
     times = np.cumsum(rng.uniform(0.3, 1.2, size=n))
     temp = 20 + 8 * np.sin(2 * np.pi * times / (times[-1] / 3)) + rng.normal(
@@ -55,8 +55,8 @@ def main():
         formulas={
             "mu1": "~1",
             "mu2": "~1",
-            "tau": "~s(temp, k=8, bs='cs')",
-            "nu": "~s(temp, k=8, bs='cs')",
+            "tau": "~s(temp, k=6, bs='cs')",
+            "nu": "~s(temp, k=6, bs='cs')",
         },
         data=data, type="CTCRW", response=["x", "y"],
         par0=[0.0, 0.0, 2.0, 1.5],
@@ -67,7 +67,7 @@ def main():
     sde.print_par()
 
     fig = sde.plot_par(
-        "temp", par_names=["tau", "nu"], show_CI="simultaneous", n_post=300
+        "temp", par_names=["tau", "nu"], show_CI="simultaneous", n_post=150
     )
     fig.savefig("examples/elephant_ctcrw_response.png", dpi=120)
     print("Wrote examples/elephant_ctcrw_response.png")

@@ -746,6 +746,30 @@ class SDE:
         """-2 llk_joint + 2 edf (R/sde.R:1308-1328)."""
         return -2.0 * self.log_lik() + 2.0 * self.edf_conditional()
 
+    def BIC(self) -> float:
+        """Bayesian information criterion from the conditional
+        log-likelihood and effective df (the reference reaches this via
+        R's BIC generic on logLik.SDE, utility.R:115-123)."""
+        return (
+            -2.0 * self.log_lik()
+            + np.log(self._data.n) * self.edf_conditional()
+        )
+
+    def filtered_states(self) -> np.ndarray:
+        """Kalman filtered state estimates for state-space models — the
+        reference's REPORT(aest_all) (nllk_ctcrw.hpp:249,
+        nllk_bm_ssm.hpp:177, nllk_ou_ssm.hpp:215). Rows follow the
+        reference convention: the state estimate emitted after
+        processing each observation."""
+        if self._spec.kind != "ssm":
+            raise RuntimeError(
+                "filtered_states is only available for state-space models"
+            )
+        res = self.out()
+        bundle = self.bundle()
+        full = bundle.packer.unpack(res.par, res.bhat)
+        return np.asarray(bundle.filter_states(full))
+
     def AIC_marginal(self) -> float:
         """-2 llk_marg + 2 (n_outer - n_lambda) (R/sde.R:1330-1349)."""
         res = self.out()

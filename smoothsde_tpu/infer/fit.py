@@ -82,19 +82,51 @@ def fit_model(
             cache[key] = (float(v), np.asarray(g), np.asarray(b))
         return cache[key]
 
+    # Line-search-safe wrappers: replace non-finite values with a large
+    # finite penalty (scipy's Wolfe search gives up on inf/nan, the
+    # cause of premature "precision loss" stops with steep initial
+    # gradients).
+    BIG = 1e10
+
+    def safe_fun(x):
+        v = eval_at(x)[0]
+        return v if np.isfinite(v) else BIG
+
+    def safe_jac(x):
+        v, g, _ = eval_at(x)
+        if not np.isfinite(v):
+            return np.zeros_like(g)
+        return np.where(np.isfinite(g), g, 0.0)
+
     t0 = time.time()
+    total_nfev = total_njev = 0
+    x_cur = x0
     with xla_trace(profile_dir):
-        res = optimize.minimize(
-            fun=lambda x: eval_at(x)[0],
-            x0=x0,
-            jac=lambda x: eval_at(x)[1],
-            method=method,
-            options={"maxiter": maxiter, "disp": verbose},
-        )
+        # BFGS with restarts: a restart resets the Hessian
+        # approximation, which recovers from stalled line searches far
+        # from the optimum (optim's BFGS in the reference is similarly
+        # restarted by users in practice).
+        for attempt in range(4):
+            res = optimize.minimize(
+                fun=safe_fun,
+                x0=x_cur,
+                jac=safe_jac,
+                method=method,
+                options={"maxiter": maxiter, "disp": verbose},
+            )
+            total_nfev += int(res.nfev)
+            total_njev += int(getattr(res, "njev", 0))
+            v_new, g_new, _ = eval_at(np.asarray(res.x, float))
+            improved = v_new < safe_fun(x_cur) - 1e-10
+            x_cur = np.asarray(res.x, float)
+            if res.success or np.max(np.abs(g_new)) < 1e-3 or not improved:
+                break
     systime = time.time() - t0
 
-    x_hat = np.asarray(res.x, float)
+    x_hat = x_cur
     v_hat, g_hat, b_hat = eval_at(x_hat)
+    res.nfev = total_nfev
+    res.njev = total_njev
 
     # scipy BFGS reports "precision loss" when the line search stalls at
     # the optimum; treat a small gradient as converged regardless

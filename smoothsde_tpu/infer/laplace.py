@@ -56,9 +56,12 @@ def make_laplace(joint_nllk: Callable, packer, config: LaplaceConfig = LaplaceCo
     alphas = jnp.asarray(_ALPHAS)
 
     def newton(outer, b0):
+        # f32 cannot reach the f64 default tolerance; scale with dtype.
+        tol = config.tol if jnp.result_type(b0) == jnp.float64 else 1e-4
+
         def cond(state):
             b, g, i = state
-            return (i < config.max_iter) & (jnp.max(jnp.abs(g)) > config.tol)
+            return (i < config.max_iter) & (jnp.max(jnp.abs(g)) > tol)
 
         def body(state):
             b, g, i = state

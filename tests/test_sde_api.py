@@ -260,3 +260,73 @@ class TestCheckpoint:
         assert "marginal_nllk_grad" in res.timings
         t = res.timings["marginal_nllk_grad"]
         assert t["first_s"] >= t["steady_s"] * 0.5  # first includes compile
+
+
+class TestVignetteOU2D:
+    def test_2d_ou_with_fixpar_means_and_time_smooth(self):
+        """Pattern of the reference vignette's second analysis
+        (vignettes/smoothSDE.rmd:344-420): 2-d OU with means fixed at
+        zero via fixpar and a time-varying kappa recovered by a spline."""
+        rng = np.random.default_rng(41)
+        n = 2500
+        dt = 0.4
+        times = np.arange(n) * dt
+        tau_t = 1.5
+        kappa_t = np.exp(0.8 * (times / times[-1] - 0.5))  # increasing
+        x = np.zeros((n, 2))
+        for i in range(1, n):
+            e = np.exp(-dt / tau_t)
+            sd = np.sqrt(kappa_t[i - 1] * (1 - e * e))
+            x[i] = e * x[i - 1] + rng.normal(size=2) * sd
+        data = {
+            "ID": np.zeros(n, int), "time": times,
+            "y1": x[:, 0], "y2": x[:, 1],
+        }
+        sde = SDE(
+            formulas={
+                "mu1": "~1", "mu2": "~1",
+                "tau": "~1",
+                "kappa": "~s(time, k=5, bs='ts')",
+            },
+            data=data, type="OU", response=["y1", "y2"],
+            par0=[0.0, 0.0, 1.0, 1.0], fixpar=["mu1", "mu2"],
+        )
+        res = sde.fit()
+        assert res.convergence == 0
+        # means pinned at 0
+        p = sde.par(t=0)
+        assert p[0, 0] == 0.0 and p[0, 1] == 0.0
+        # kappa trend recovered: increasing over time
+        par_all = sde.par(
+            t="all", X_fe=sde.mats()["X_fe"], X_re=sde.mats()["X_re"]
+        )
+        kap = par_all[:, 3]
+        rel = np.abs(kap - kappa_t) / kappa_t
+        assert rel.mean() < 0.25
+        assert kap[-100:].mean() > kap[:100].mean()
+
+    def test_term_subsetting(self):
+        rng = np.random.default_rng(42)
+        n = 600
+        x1 = np.linspace(0, 1, n)
+        z = np.cumsum(rng.normal(size=n) * 0.5)
+        data = {
+            "ID": np.zeros(n, int), "time": np.arange(n, dtype=float),
+            "z": z, "x1": x1,
+        }
+        sde = SDE(
+            formulas={"mu": "~x1 + s(x1, k=5, bs='ts')", "sigma": "~1"},
+            data=data, type="BM", response="z",
+        )
+        sde.fit()
+        # term="s(x1)" keeps only the smooth's contribution
+        lp_term = sde.linear_predictor(
+            t="all", X_fe=sde.mats()["X_fe"], X_re=sde.mats()["X_re"],
+            term="s(x1)",
+        )
+        # no intercept contribution -> sigma column all zero
+        assert np.allclose(lp_term[:, 1], 0.0)
+        lp_full = sde.linear_predictor(
+            t="all", X_fe=sde.mats()["X_fe"], X_re=sde.mats()["X_re"]
+        )
+        assert not np.allclose(lp_term[:, 0], lp_full[:, 0])
