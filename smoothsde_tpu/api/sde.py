@@ -709,7 +709,6 @@ class SDE:
         import jax.numpy as jnp
 
         res = self.out()
-        edf = len(res.par) - int(np.sum(self._lambda.shape)) if False else None
         n_lambda_free = sum(
             1 for nm in res.par_names if nm == "log_lambda"
         )

@@ -108,10 +108,19 @@ def _combine2(e1: Element2, e2: Element2) -> Element2:
 
 
 def _wh(cond, X, Y):
-    """jnp.where over matching nested tuples."""
+    """jnp.where over matching nested tuples, with the mask broadcast
+    explicitly to the operand shape (required for clean transposition:
+    lax.select's vjp rejects a (n,) mask against (d, n) cases)."""
     if isinstance(X, tuple):
         return tuple(_wh(cond, x, y) for x, y in zip(X, Y))
-    return jnp.where(cond, X, Y)
+    shape = jnp.broadcast_shapes(
+        jnp.shape(cond), jnp.shape(X), jnp.shape(Y)
+    )
+    return jnp.where(
+        jnp.broadcast_to(cond, shape),
+        jnp.broadcast_to(X, shape),
+        jnp.broadcast_to(Y, shape),
+    )
 
 
 _ID2 = Element2(
@@ -135,15 +144,27 @@ def _scan_elements(combine, identity, elem, scan: str):
     return jax.lax.associative_scan(combine, elem, axis=-1)
 
 
-def ctcrw_loglik_soa(par_mat, obs, times, ids, sigma_obs, p0_pos=1.0,
-                     p0_vel=10.0, scan: str = "auto"):
-    """Total CTCRW log-likelihood via the SoA associative-scan filter.
+class CtcrwSystem(NamedTuple):
+    """Per-step SoA system pieces for the s=2 filter (all leaves end in
+    the step axis; first axis is the response dimension)."""
 
-    par_mat: (n, d+2) working scale (mu_1..mu_d, log tau, log nu);
-    obs: (n, d) with NaN missing rows (first-response check, as in the
-    reference); sigma_obs scalar measurement SD. Matches
-    kalman.kalman_loglik on ctcrw_steps to fp tolerance.
-    """
+    Ft: tuple  # 2x2 transition ENTERING each step
+    ct: tuple  # drift entering each step
+    Qt: tuple  # 2x2 process noise entering each step
+    yd: jax.Array  # (d, n) observations (NaN -> 0)
+    h: jax.Array  # scalar observation variance
+    reset: jax.Array  # (n,) track starts
+    prev_reset: jax.Array
+    update: jax.Array  # (n,) measurement update happens
+    elem: Element2  # filtering elements
+    p0_pos: float
+    p0_vel: float
+
+
+def _ctcrw_system(par_mat, obs, times, ids, sigma_obs, p0_pos=1.0,
+                  p0_vel=10.0) -> CtcrwSystem:
+    """Build the per-step SoA system + filtering elements (shared by the
+    likelihood, the smoother, and the analytic-gradient core)."""
     obs = jnp.asarray(obs)
     times = jnp.asarray(times)
     ids = jnp.asarray(ids)
@@ -198,8 +219,8 @@ def ctcrw_loglik_soa(par_mat, obs, times, ids, sigma_obs, p0_pos=1.0,
          jnp.where(no_prop, 0.0, shift(q11))),
     )
     ct = (
-        jnp.where(no_prop, 0.0, shift(bp)),  # (d, n)
-        jnp.where(no_prop, 0.0, shift(bv)),
+        _wh(no_prop, 0.0, shift(bp)),  # (d, n)
+        _wh(no_prop, 0.0, shift(bv)),
     )
 
     yd = y.T  # (d, n)
@@ -229,7 +250,7 @@ def ctcrw_loglik_soa(par_mat, obs, times, ids, sigma_obs, p0_pos=1.0,
 
     # ---- three-way select: reset / propagate-only / update ----
     zero = jnp.zeros_like(yd)
-    a0_pos = jnp.where(reset, yd, 0.0)
+    a0_pos = _wh(reset, yd, 0.0)
     elem = Element2(
         A=_wh(
             reset,
@@ -250,31 +271,97 @@ def ctcrw_loglik_soa(par_mat, obs, times, ids, sigma_obs, p0_pos=1.0,
             ((zero, zero), (zero, zero)),
         ),
     )
+    return CtcrwSystem(
+        Ft=Ft, ct=ct, Qt=Qt, yd=yd, h=h, reset=reset,
+        prev_reset=prev_reset, update=update, elem=elem,
+        p0_pos=p0_pos, p0_vel=p0_vel,
+    )
 
-    scanned = _scan_elements(_combine2, _ID2, elem, scan)
-    m0, m1 = scanned.b
-    P00, P01 = scanned.C[0]
-    _, P11 = scanned.C[1]
 
-    # ---- elementwise predictive likelihood recovery ----
-    m0p = shift(m0)
-    m1p = shift(m1)
-    P00p = shift(P00)
-    P01p = shift(P01)
-    P11p = shift(P11)
+def _build_elem2(Ft, ct, Qt, yd, h, reset, update, p0_pos, p0_vel):
+    """Filtering elements from system pieces (duplicates the selection
+    logic of _ctcrw_system for the custom_vjp core, where (Ft, ct, Qt,
+    yd, h) are primal arguments)."""
+    S = Qt[0][0] + h
+    K0 = Qt[0][0] / S
+    K1 = Qt[1][0] / S
+    r = yd - ct[0]
+    A_upd = (
+        ((1.0 - K0) * Ft[0][0], (1.0 - K0) * Ft[0][1]),
+        (Ft[1][0] - K1 * Ft[0][0], Ft[1][1] - K1 * Ft[0][1]),
+    )
+    b_upd = (ct[0] + K0 * r, ct[1] + K1 * r)
+    C_upd = (
+        ((1.0 - K0) * Qt[0][0], (1.0 - K0) * Qt[0][1]),
+        (Qt[1][0] - K1 * Qt[0][0], Qt[1][1] - K1 * Qt[0][1]),
+    )
+    f0, f1 = Ft[0][0], Ft[0][1]
+    eta_upd = (f0 * r / S, f1 * r / S)
+    J_upd = ((f0 * f0 / S, f0 * f1 / S), (f0 * f1 / S, f1 * f1 / S))
+
+    zero = jnp.zeros_like(yd)
+    a0_pos = _wh(reset, yd, 0.0)
+    return Element2(
+        A=_wh(reset, ((zero, zero), (zero, zero)), _wh(update, A_upd, Ft)),
+        b=_wh(reset, (a0_pos, zero), _wh(update, b_upd, ct)),
+        C=_wh(
+            reset,
+            ((jnp.full_like(yd, p0_pos), zero),
+             (zero, jnp.full_like(yd, p0_vel))),
+            _wh(update, C_upd, Qt),
+        ),
+        eta=_wh(update & (~reset), eta_upd, (zero, zero)),
+        J=_wh(update & (~reset), J_upd, ((zero, zero), (zero, zero))),
+    )
+
+
+def _llk_from_filtered(sys: CtcrwSystem, m_f, P_f):
+    """Elementwise predictive likelihood recovery from filtered moments."""
+    Ft, ct, Qt, yd, h = sys.Ft, sys.ct, sys.Qt, sys.yd, sys.h
+
+    def shift(x, fill=0.0):
+        return jnp.concatenate(
+            [jnp.full(x.shape[:-1] + (1,), fill, x.dtype), x[..., :-1]],
+            axis=-1,
+        )
+
+    m0p, m1p = shift(m_f[0]), shift(m_f[1])
+    P00p, P01p, P11p = shift(P_f[0][0]), shift(P_f[0][1]), shift(P_f[1][1])
     a_pred0 = Ft[0][0] * m0p + Ft[0][1] * m1p + ct[0]
-    # P_pred[0,0] = row0(Ft) P_prev row0(Ft)' + Qt00
     Pp00 = (
         Ft[0][0] * (Ft[0][0] * P00p + Ft[0][1] * P01p)
         + Ft[0][1] * (Ft[0][0] * P01p + Ft[0][1] * P11p)
         + Qt[0][0]
     )
-    a_pred0 = jnp.where(reset, yd, a_pred0)  # unused at resets
-    Pp00 = jnp.where(reset, p0_pos, Pp00)
+    a_pred0 = _wh(sys.reset, yd, a_pred0)
+    Pp00 = _wh(sys.reset, sys.p0_pos, Pp00)
     F = Pp00 + h
     u = yd - a_pred0
-    llk_terms = jnp.where(update, -0.5 * (jnp.log(F) + u * u / F), 0.0)
+    llk_terms = _wh(sys.update, -0.5 * (jnp.log(F) + u * u / F), 0.0)
     return jnp.sum(llk_terms)
+
+
+def ctcrw_loglik_soa(par_mat, obs, times, ids, sigma_obs, p0_pos=1.0,
+                     p0_vel=10.0, scan: str = "auto",
+                     analytic_grad: bool = False):
+    """Total CTCRW log-likelihood via the SoA associative-scan filter.
+
+    par_mat: (n, d+2) working scale (mu_1..mu_d, log tau, log nu);
+    obs: (n, d) with NaN missing rows (first-response check, as in the
+    reference); sigma_obs scalar measurement SD. Matches
+    kalman.kalman_loglik on ctcrw_steps to fp tolerance.
+
+    analytic_grad=True routes through the Fisher-identity custom_vjp
+    (ops/kalman_smooth.py): backward pass = parallel RTS smoother +
+    elementwise score instead of AD through the scan.
+    """
+    sys = _ctcrw_system(par_mat, obs, times, ids, sigma_obs, p0_pos, p0_vel)
+    if analytic_grad:
+        from smoothsde_tpu.ops.kalman_smooth import llk2_analytic
+
+        return llk2_analytic(sys, scan)
+    scanned = _scan_elements(_combine2, _ID2, sys.elem, scan)
+    return _llk_from_filtered(sys, scanned.b, scanned.C)
 
 
 def diag_ssm_loglik_soa(type, par_mat, obs, times, ids, sigma_obs,

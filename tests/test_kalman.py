@@ -288,3 +288,122 @@ class TestSoAFilters:
             llk_soa = diag_ssm_loglik_soa(type, par, obs, times, ids,
                                           sigma_obs=0.3)
             assert np.isclose(float(llk_ref), float(llk_soa), rtol=1e-10), type
+
+
+class TestAnalyticGradient:
+    def _problem(self, seed=30, n=250, n_tracks=3):
+        rng = np.random.default_rng(seed)
+        times = np.cumsum(rng.uniform(0.2, 0.8, size=n))
+        ids = np.sort(rng.integers(0, n_tracks, size=n))
+        obs = np.cumsum(rng.normal(size=(n, 2)) * 0.3, axis=0)
+        obs[60] = np.nan
+        theta = np.array([0.05, -0.1, np.log(2.0), np.log(1.0)])
+        return theta, obs, times, ids
+
+    def test_value_and_grad_match_sequential_ad(self):
+        import jax
+        from smoothsde_tpu.ops.kalman_soa import ctcrw_loglik_soa
+
+        theta, obs, times, ids = self._problem()
+        n = len(times)
+
+        def nll_soa_analytic(th):
+            par = jnp.broadcast_to(th, (n, 4))
+            return -ctcrw_loglik_soa(
+                par, obs, times, ids, sigma_obs=0.2, analytic_grad=True
+            )
+
+        def nll_seq(th):
+            par = jnp.broadcast_to(th, (n, 4))
+            steps = ctcrw_steps(
+                par, jnp.asarray(obs), jnp.asarray(times), ids, sigma_obs=0.2
+            )
+            return -kalman_loglik_sequential(steps)[0]
+
+        th = jnp.asarray(theta)
+        v_a, g_a = jax.value_and_grad(nll_soa_analytic)(th)
+        v_s, g_s = jax.value_and_grad(nll_seq)(th)
+        assert np.isclose(float(v_a), float(v_s), rtol=1e-10)
+        assert np.allclose(np.asarray(g_a), np.asarray(g_s), rtol=1e-7), (
+            np.asarray(g_a), np.asarray(g_s)
+        )
+
+    def test_grad_wrt_sigma_obs(self):
+        import jax
+        from smoothsde_tpu.ops.kalman_soa import ctcrw_loglik_soa
+
+        theta, obs, times, ids = self._problem(seed=31)
+        n = len(times)
+
+        def nll_a(s):
+            par = jnp.broadcast_to(jnp.asarray(theta), (n, 4))
+            return -ctcrw_loglik_soa(
+                par, obs, times, ids, sigma_obs=s, analytic_grad=True
+            )
+
+        def nll_seq(s):
+            par = jnp.broadcast_to(jnp.asarray(theta), (n, 4))
+            steps = ctcrw_steps(
+                par, jnp.asarray(obs), jnp.asarray(times), ids, sigma_obs=s
+            )
+            return -kalman_loglik_sequential(steps)[0]
+
+        g_a = jax.grad(nll_a)(jnp.float64(0.25))
+        g_s = jax.grad(nll_seq)(jnp.float64(0.25))
+        assert np.isclose(float(g_a), float(g_s), rtol=1e-7)
+
+
+class TestSmoothedStates:
+    def test_smoother_matches_brute_force(self):
+        """Smoothed means vs the exact conditional mean from the joint
+        Gaussian of (states, observations) on a small problem."""
+        from smoothsde_tpu.ops.kalman_smooth import ctcrw_smoothed_states
+
+        rng = np.random.default_rng(33)
+        n = 30
+        times = np.cumsum(rng.uniform(0.3, 0.7, size=n))
+        ids = np.zeros(n, int)
+        obs = np.cumsum(rng.normal(size=(n, 1)) * 0.3, axis=0)
+        par = jnp.asarray(np.tile([0.1, np.log(2.0), np.log(1.0)], (n, 1)))
+        sobs = 0.3
+
+        means, covs = ctcrw_smoothed_states(
+            par, obs, times, ids, sigma_obs=sobs
+        )
+        assert means.shape == (1, n, 2)
+        assert covs.shape == (1, n, 2, 2)
+
+        # brute force: jointly Gaussian states x_1..x_{n-1} (x frozen
+        # over the first interval), y_i = x_i[0] + noise for i >= 1
+        steps = ctcrw_steps(
+            par, jnp.asarray(obs), jnp.asarray(times), ids, sigma_obs=sobs
+        )
+        T, b, Q = np.asarray(steps.T), np.asarray(steps.b), np.asarray(steps.Q)
+        a0 = np.asarray(steps.a0)[0]
+        P0 = np.asarray(steps.P0)[0]
+        idx = list(range(1, n))
+        s = 2
+        mean = {1: a0}
+        cov = {(1, 1): P0}
+        for k in range(1, len(idx)):
+            i_prev, i = idx[k - 1], idx[k]
+            mean[i] = T[i - 1] @ mean[i_prev] + b[i - 1]
+            for j in idx[:k]:
+                cov[(i, j)] = T[i - 1] @ cov[(i_prev, j)]
+                cov[(j, i)] = cov[(i, j)].T
+            cov[(i, i)] = T[i - 1] @ cov[(i_prev, i_prev)] @ T[i - 1].T + Q[i - 1]
+        p = len(idx)
+        mu_y = np.array([mean[i][0] for i in idx])
+        Sig = np.zeros((p, p))
+        for a_, i in enumerate(idx):
+            for b_, j in enumerate(idx):
+                Sig[a_, b_] = cov[(i, j)][0, 0] + (sobs**2 if i == j else 0.0)
+        yv = np.asarray(obs)[idx, 0]
+        # conditional mean of each state given all obs
+        K = np.zeros((p, s, p))
+        for a_, i in enumerate(idx):
+            cross = np.stack([cov[(i, j)][:, 0] for j in idx], axis=1)  # (s, p)
+            mean_cond = mean[i] + cross @ np.linalg.solve(Sig, yv - mu_y)
+            assert np.allclose(
+                np.asarray(means)[0, i], mean_cond, atol=1e-7
+            ), i
