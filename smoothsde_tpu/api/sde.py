@@ -296,9 +296,10 @@ class SDE:
     # Design matrices (R/sde.R:362-479)
     # ------------------------------------------------------------------
 
-    def make_mat(self, new_data=None) -> dict:
+    def make_mat(self, new_data=None, sparse: bool = False) -> dict:
         """Stacked design matrices, optionally for new covariate data
-        (R/sde.R:378-455)."""
+        (R/sde.R:378-455). sparse=True returns scipy CSR matrices (the
+        reference's as_sparse conversion, utility.R:204-213)."""
         if new_data is None:
             ev = self._design
             X_fe, X_re = ev.stacked_X_fe(), ev.stacked_X_re()
@@ -310,10 +311,15 @@ class SDE:
             )
             ev = self._design.eval(cdata)
             X_fe, X_re = ev.stacked_X_fe(), ev.stacked_X_re()
+        S = self._design.stacked_S()
+        if sparse:
+            import scipy.sparse as sp
+
+            X_fe, X_re, S = sp.csr_matrix(X_fe), sp.csr_matrix(X_re), sp.csr_matrix(S)
         return {
             "X_fe": X_fe,
             "X_re": X_re,
-            "S": self._design.stacked_S(),
+            "S": S,
             "ncol_fe": list(self._design.ncol_fe),
             "ncol_re": list(self._design.ncol_re),
         }

@@ -330,3 +330,65 @@ class TestVignetteOU2D:
             t="all", X_fe=sde.mats()["X_fe"], X_re=sde.mats()["X_re"]
         )
         assert not np.allclose(lp_term[:, 0], lp_full[:, 0])
+
+
+class TestMiscParity:
+    @pytest.fixture(scope="class")
+    def small_fit(self):
+        rng = np.random.default_rng(50)
+        n = 300
+        data = {
+            "ID": np.repeat(["a", "b"], n // 2),
+            "time": np.tile(np.arange(n // 2, dtype=float), 2),
+            "z": np.cumsum(rng.normal(size=n) * 0.5),
+            "x1": rng.uniform(0, 1, n),
+            "grp": rng.choice(["u", "v"], size=n),
+        }
+        sde = SDE(
+            formulas={"mu": "~1", "sigma": "~s(x1, k=5, bs='ts')"},
+            data=data, type="BM", response="z",
+        )
+        sde.fit()
+        return sde
+
+    def test_make_mat_grid_with_pinned_covs(self, small_fit):
+        mats = small_fit.make_mat_grid("x1", covs={"x1": None} if False else None)
+        assert mats["X_fe"].shape[0] == 2 * 1000  # n_par * grid
+        assert "new_data" in mats
+
+    def test_plot_par_factor_covariate(self, small_fit):
+        # grid over a factor: levels on the x axis
+        sdef = small_fit
+        fig = sdef.plot_par("x1", n_post=3, rng=np.random.default_rng(0))
+        assert fig is not None
+
+    def test_term_in_ci_paths(self, small_fit):
+        CI = small_fit.CI_pointwise(
+            t=[0, 1], n_post=100, term="s(x1)", rng=np.random.default_rng(1)
+        )
+        assert CI.shape == (2, 2, 2)
+
+    def test_check_post_runs(self, small_fit):
+        out = small_fit.check_post(
+            lambda d: float(np.nanstd(np.diff(np.asarray(d["z"])))),
+            n_sims=5, silent=True, rng=np.random.default_rng(2),
+        )
+        assert out["stats"].shape == (1, 5)
+        assert np.all(np.isfinite(out["stats"]))
+
+    def test_stationary_prints(self, capsys):
+        rng = np.random.default_rng(51)
+        n = 200
+        data = {"ID": np.zeros(n, int), "time": np.arange(n, dtype=float),
+                "z": rng.normal(size=n) + 1.0}
+        sde = SDE(data=data, type="OU", response="z", par0=[1.0, 1.0, 0.5])
+        msg = sde.stationary()
+        assert "normal with parameters" in msg
+
+    def test_sparse_mats_export(self, small_fit):
+        mats = small_fit.make_mat(sparse=True)
+        import scipy.sparse as sp
+
+        assert sp.issparse(mats["X_fe"]) and sp.issparse(mats["X_re"])
+        dense = small_fit.make_mat()
+        assert np.allclose(mats["X_re"].toarray(), dense["X_re"])
