@@ -775,6 +775,33 @@ class SDE:
         full = bundle.packer.unpack(res.par, res.bhat)
         return np.asarray(bundle.filter_states(full))
 
+    def smoothed_states(self):
+        """Smoothed (position, velocity) state distributions for CTCRW
+        models via the parallel RTS smoother (new capability beyond the
+        reference, which only reports filtered states). Returns
+        (means (d, n, 2), covs (d, n, 2, 2))."""
+        if self._type != "CTCRW":
+            raise NotImplementedError(
+                "smoothed_states is currently implemented for CTCRW"
+            )
+        if self._other_data.get("H") is not None:
+            raise NotImplementedError(
+                "smoothed_states requires isotropic observation noise"
+            )
+        import jax.numpy as jnp
+
+        from smoothsde_tpu.ops.kalman_smooth import ctcrw_smoothed_states
+
+        res = self.out()
+        bundle = self.bundle()
+        full = bundle.packer.unpack(res.par, res.bhat)
+        par_mat = bundle.par_matrix(full)
+        sobs = jnp.exp(full["log_sigma_obs"][0])
+        means, covs = ctcrw_smoothed_states(
+            par_mat, self._obs, self._times, self._ids, sigma_obs=sobs
+        )
+        return np.asarray(means), np.asarray(covs)
+
     def AIC_marginal(self) -> float:
         """-2 llk_marg + 2 (n_outer - n_lambda) (R/sde.R:1330-1349)."""
         res = self.out()

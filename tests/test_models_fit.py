@@ -225,3 +225,39 @@ class TestDecaySplines:
         rho = sde.rho()
         assert rho.shape == (1,)
         assert np.isfinite(rho[0])
+
+
+class TestSmoothedStatesAPI:
+    def test_ctcrw_smoothed_states(self):
+        rng = np.random.default_rng(8)
+        n = 400
+        dt = 0.5
+        tau_t, nu_t = 3.0, 1.0
+        beta = 1.0 / tau_t
+        sigma = 2.0 * nu_t / np.sqrt(np.pi * tau_t)
+        from smoothsde_tpu.utils.misc import ctcrw_cov
+
+        v, z = 0.0, 0.0
+        lat = np.empty(n)
+        obs = np.empty(n)
+        lat[0] = obs[0] = 0.0
+        for i in range(1, n):
+            e = np.exp(-beta * dt)
+            V = ctcrw_cov(beta, sigma, dt)
+            mv, mz = e * v, z + v / beta * (1 - e)
+            v, z = rng.multivariate_normal([mv, mz], V)
+            lat[i] = z
+            obs[i] = z + rng.normal() * 0.3
+        data = {"ID": np.zeros(n, int), "time": np.arange(n) * dt, "y": obs}
+        sde = SDE(data=data, type="CTCRW", response="y",
+                  par0=[0.0, tau_t, nu_t])
+        sde.fit()
+        means, covs = sde.smoothed_states()
+        assert means.shape == (1, n, 2)
+        assert covs.shape == (1, n, 2, 2)
+        # smoothed positions should track the latent path better than
+        # the raw noisy observations
+        err_smooth = np.mean((means[0, 10:, 0] - lat[10:]) ** 2)
+        err_obs = np.mean((obs[10:] - lat[10:]) ** 2)
+        assert err_smooth < err_obs * 0.8
+        assert np.all(covs[0, 10:, 0, 0] > 0)
