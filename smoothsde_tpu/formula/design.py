@@ -137,10 +137,6 @@ class SmoothBlock:
     by_level: Optional[object] = None  # factor-by level, None for numeric
     col_names: List[str] = dataclasses.field(default_factory=list)
 
-    def eval_cols(self, data: ColumnData) -> np.ndarray:
-        var = self.basis.label  # unused; basis caches its own var? see builder
-        raise NotImplementedError
-
 
 class FormulaDesign:
     """Design builder for one SDE parameter's formula."""
