@@ -49,8 +49,10 @@ def main():
 
     def nllk(theta):
         par = jnp.broadcast_to(theta, (n, 4))
+        # fused Pallas filter + Fisher-identity analytic gradient
         return -ctcrw_loglik_soa(
-            par, obs_j, times_j, ids, sigma_obs=jnp.asarray(0.1, dtype)
+            par, obs_j, times_j, ids, sigma_obs=jnp.asarray(0.1, dtype),
+            scan="fused", analytic_grad=True,
         )
 
     fn = jax.jit(jax.value_and_grad(nllk))
@@ -74,8 +76,8 @@ def main():
         json.dumps(
             {
                 "metric": (
-                    "nllk+grad wall-time, 1M-step 2-D CTCRW parallel-scan "
-                    f"Kalman, {backend} f32"
+                    "nllk+grad wall-time, 1M-step 2-D CTCRW fused-Pallas "
+                    f"Kalman + Fisher-identity gradient, {backend} f32"
                 ),
                 "value": round(ms, 3),
                 "unit": "ms",

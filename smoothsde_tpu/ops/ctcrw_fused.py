@@ -1,0 +1,782 @@
+"""Fully fused Pallas forward pass for the s=2 SoA Kalman filter.
+
+The XLA pipeline (element build -> blocked scan -> cross-block fold ->
+likelihood recovery) costs ~6 ms at 1M steps even though its bandwidth
+floor is ~0.3 ms: every stage is a separate pass over 14-16 element
+arrays. Here the whole forward filter runs as TWO Pallas kernels over
+the 10 raw per-step input arrays:
+
+  kernel 1: per lane-block, build filtering elements on the fly and
+            compose them, emitting only each block's TOTAL element
+            (14 small arrays, one value per block);
+  phase 2:  exclusive associative scan of the block totals (tiny, XLA);
+  kernel 2: re-run the within-block composition with the carry seeded
+            by the block's prefix element (recompute-instead-of-store),
+            emitting filtered moments (5 arrays) and the per-lane
+            likelihood partial sums accumulated in VMEM.
+
+Elements never touch HBM. Forward-only by design: gradients come from
+the Fisher-identity custom_vjp (ops/kalman_smooth.py), which needs only
+the filtered moments this kernel emits.
+
+Element algebra and model conventions are identical to
+ops/kalman_soa.py (s=2 CTCRW with Z = [1, 0], F[0][0] = 1, F[1][0] = 0)
+and are tested to match the sequential reference filter exactly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smoothsde_tpu.ops.kalman_soa import _combine2, Element2
+
+
+def _interpret() -> bool:
+    return bool(int(os.environ.get("SMOOTHSDE_PALLAS_INTERPRET", "0")))
+
+
+class _Tiles(NamedTuple):
+    """Blocked (L_pad, MID, 128) input tiles. Lane = dim * NB + block."""
+
+    f01: jax.Array
+    f11: jax.Array
+    q00: jax.Array
+    q01: jax.Array
+    q11: jax.Array
+    c0: jax.Array
+    c1: jax.Array
+    y: jax.Array
+    rst: jax.Array  # reset mask as f32
+    upd: jax.Array  # update mask as f32
+
+
+_N_TOT = 14  # composed-element components: A(4) b(2) C(3) eta(2) J(3)
+
+
+def _elem_from_inputs(t, p0_pos, p0_vel, h, l):
+    """Build the step-l filtering element from input tile rows.
+
+    Branch-free three-way select with 0/1 masks; exploits F[0][0] = 1,
+    F[1][0] = 0 and symmetric C/J. Returns an Element2 of (8, 128)
+    arrays (C/J tuples share the off-diagonal array).
+    """
+    f01 = t.f01[l]
+    f11 = t.f11[l]
+    q00 = t.q00[l]
+    q01 = t.q01[l]
+    q11 = t.q11[l]
+    c0 = t.c0[l]
+    c1 = t.c1[l]
+    y = t.y[l]
+    R = t.rst[l]
+    U = t.upd[l]
+
+    S = q00 + h
+    inv_s = 1.0 / S
+    K0 = q00 * inv_s
+    K1 = q01 * inv_s
+    r = y - c0
+
+    # update-element components
+    uA00 = 1.0 - K0
+    uA01 = (1.0 - K0) * f01
+    uA10 = -K1
+    uA11 = f11 - K1 * f01
+    ub0 = c0 + K0 * r
+    ub1 = c1 + K1 * r
+    uC00 = (1.0 - K0) * q00
+    uC01 = (1.0 - K0) * q01
+    uC11 = q11 - K1 * q01
+    ue0 = r * inv_s
+    ue1 = f01 * r * inv_s
+    uJ00 = inv_s
+    uJ01 = f01 * inv_s
+    uJ11 = f01 * f01 * inv_s
+
+    # select: reset / update / propagate-only (masks are 0/1 floats)
+    prop = (1.0 - R) * (1.0 - U)
+    updm = (1.0 - R) * U
+    A00 = updm * uA00 + prop * 1.0
+    A01 = updm * uA01 + prop * f01
+    A10 = updm * uA10
+    A11 = updm * uA11 + prop * f11
+    b0 = R * y + updm * ub0 + prop * c0
+    b1 = updm * ub1 + prop * c1
+    C00 = R * p0_pos + updm * uC00 + prop * q00
+    C01 = updm * uC01 + prop * q01
+    C11 = R * p0_vel + updm * uC11 + prop * q11
+    e0 = updm * ue0
+    e1 = updm * ue1
+    J00 = updm * uJ00
+    J01 = updm * uJ01
+    J11 = updm * uJ11
+
+    return Element2(
+        A=((A00, A01), (A10, A11)),
+        b=(b0, b1),
+        C=((C00, C01), (C01, C11)),
+        eta=(e0, e1),
+        J=((J00, J01), (J01, J11)),
+    )
+
+
+def _pack_elem(e: Element2):
+    return [
+        e.A[0][0], e.A[0][1], e.A[1][0], e.A[1][1],
+        e.b[0], e.b[1],
+        e.C[0][0], e.C[0][1], e.C[1][1],
+        e.eta[0], e.eta[1],
+        e.J[0][0], e.J[0][1], e.J[1][1],
+    ]
+
+
+def _unpack_elem_full(v) -> Element2:
+    return Element2(
+        A=((v[0], v[1]), (v[2], v[3])),
+        b=(v[4], v[5]),
+        C=((v[6], v[7]), (v[7], v[8])),
+        eta=(v[9], v[10]),
+        J=((v[11], v[12]), (v[12], v[13])),
+    )
+
+
+_ID_VALS = [1.0, 0.0, 0.0, 1.0,  # A = I
+            0.0, 0.0,            # b
+            0.0, 0.0, 0.0,       # C
+            0.0, 0.0,            # eta
+            0.0, 0.0, 0.0]       # J
+
+
+def fused_filter(sys, want_moments: bool = True):
+    """Run the fused forward filter for a CtcrwSystem.
+
+    Returns (llk, m_f (2-tuple of (d, n)), P_f (2x2 tuple)) with the
+    same values as the XLA SoA pipeline (tested to fp equality).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    yd = sys.yd
+    d, n = yd.shape
+    dtype = yd.dtype
+    p0_pos = float(sys.p0_pos)
+    p0_vel = float(sys.p0_vel)
+
+    # lanes = d * NB must tile onto (8, 128): NB a multiple of
+    # 1024/gcd(d, 1024), grown toward 2048 while the data supports it
+    base = 1024 // int(np.gcd(d, 1024))
+    NB = base
+    while NB * 2 <= min(2048, max(n, base)):
+        NB *= 2
+    L = -(-n // NB)
+    L_CH = 16
+    L_pad = -(-L // L_CH) * L_CH
+    lanes = d * NB
+    MID = lanes // 128
+    n_lc = L_pad // L_CH
+    grid = (MID // 8, n_lc)
+
+    bc = lambda x: jnp.broadcast_to(x, (d, n))  # noqa: E731
+
+    raw = [
+        bc(sys.Ft[0][1]), bc(sys.Ft[1][1]),
+        bc(sys.Qt[0][0]), bc(sys.Qt[0][1]), bc(sys.Qt[1][1]),
+        bc(sys.ct[0]), bc(sys.ct[1]),
+        yd,
+        bc(sys.reset.astype(dtype)), bc(sys.update.astype(dtype)),
+    ]
+    # identity-behaving padding values per input (element -> identity):
+    pad_vals = [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+
+    def to_tiles(x, pv):
+        pad_n = NB * L - n
+        if pad_n:
+            x = jnp.concatenate(
+                [x, jnp.full((d, pad_n), pv, dtype)], axis=1
+            )
+        x = x.reshape(d, NB, L)
+        x = jnp.moveaxis(x, -1, 0).reshape(L, lanes)
+        if L_pad != L:
+            x = jnp.concatenate(
+                [x, jnp.full((L_pad - L, lanes), pv, dtype)], axis=0
+            )
+        return x.reshape(L_pad, MID, 128)
+
+    tiles = _Tiles(*[to_tiles(x, pv) for x, pv in zip(raw, pad_vals)])
+    h_arr = jnp.broadcast_to(
+        jnp.asarray(sys.h, dtype).reshape(1, 1), (1, 1)
+    )
+
+    in_spec = pl.BlockSpec(
+        (L_CH, 8, 128), lambda m, lc: (lc, m, 0), memory_space=pltpu.VMEM
+    )
+    tot_spec = pl.BlockSpec(
+        (8, 128), lambda m, lc: (m, 0), memory_space=pltpu.VMEM
+    )
+    h_spec = pl.BlockSpec(
+        (1, 1), lambda m, lc: (0, 0), memory_space=pltpu.SMEM
+    )
+
+    # ---- kernel 1: block totals ----
+    def totals_kernel(h_ref, *refs):
+        ins = _Tiles(*refs[:10])
+        outs = refs[10 : 10 + _N_TOT]
+        car = refs[10 + _N_TOT :]
+        lc = pl.program_id(1)
+        h = h_ref[0, 0]
+
+        @pl.when(lc == 0)
+        def _():
+            for i in range(_N_TOT):
+                car[i][...] = jnp.full((8, 128), _ID_VALS[i], dtype)
+
+        c = _unpack_elem_full([r[...] for r in car])
+        for l in range(L_CH):
+            e = _elem_from_inputs(ins, p0_pos, p0_vel, h, l)
+            c = _combine2(c, e)
+        new = _pack_elem(c)
+        for i in range(_N_TOT):
+            car[i][...] = new[i]
+
+        @pl.when(lc == n_lc - 1)
+        def _():
+            for i in range(_N_TOT):
+                outs[i][...] = car[i][...]
+
+    totals = pl.pallas_call(
+        totals_kernel,
+        grid=grid,
+        in_specs=[h_spec] + [in_spec] * 10,
+        out_specs=[tot_spec] * _N_TOT,
+        out_shape=[jax.ShapeDtypeStruct((MID, 128), dtype)] * _N_TOT,
+        scratch_shapes=[pltpu.VMEM((8, 128), dtype)] * _N_TOT,
+        interpret=_interpret(),
+    )(h_arr, *tiles)
+
+    # ---- phase 2 (XLA, tiny): exclusive prefix across blocks per dim ----
+    def to_dnb(x):
+        return x.reshape(lanes)[: d * NB].reshape(d, NB)
+
+    tot_dnb = [to_dnb(x) for x in totals]
+    incl = jax.lax.associative_scan(
+        _combine2, _unpack_elem_full(tot_dnb), axis=-1
+    )
+    incl_flat = _pack_elem(incl)
+    excl = [
+        jnp.concatenate(
+            [jnp.full((d, 1), _ID_VALS[i], dtype), x[:, :-1]], axis=1
+        )
+        for i, x in enumerate(incl_flat)
+    ]
+
+    def from_dnb(x):
+        return x.reshape(lanes).reshape(MID, 128)
+
+    excl_tiles = [from_dnb(x) for x in excl]
+
+    # ---- kernel 2: seeded re-scan, moments + llk ----
+    def scan_kernel(h_ref, *refs):
+        ins = _Tiles(*refs[:10])
+        pref = refs[10 : 10 + _N_TOT]
+        m_out = refs[10 + _N_TOT : 10 + _N_TOT + 5]
+        llk_out = refs[10 + _N_TOT + 5]
+        car = refs[10 + _N_TOT + 6 : 10 + _N_TOT + 6 + _N_TOT]
+        llk_acc = refs[10 + _N_TOT + 6 + _N_TOT]
+        lc = pl.program_id(1)
+        h = h_ref[0, 0]
+
+        @pl.when(lc == 0)
+        def _():
+            for i in range(_N_TOT):
+                car[i][...] = pref[i][...]
+            llk_acc[...] = jnp.zeros((8, 128), dtype)
+
+        c = _unpack_elem_full([r[...] for r in car])
+        acc = llk_acc[...]
+        for l in range(L_CH):
+            # predictive llk term BEFORE absorbing step l
+            m0p, m1p = c.b
+            P00p, P01p = c.C[0]
+            P11p = c.C[1][1]
+            f01 = ins.f01[l]
+            a_pred = m0p + f01 * m1p + ins.c0[l]
+            Pp00 = (
+                P00p + 2.0 * f01 * P01p + f01 * f01 * P11p + ins.q00[l]
+            )
+            F = Pp00 + h
+            u = ins.y[l] - a_pred
+            acc = acc + ins.upd[l] * (-0.5) * (jnp.log(F) + u * u / F)
+
+            e = _elem_from_inputs(ins, p0_pos, p0_vel, h, l)
+            c = _combine2(c, e)
+            m_out[0][l] = c.b[0]
+            m_out[1][l] = c.b[1]
+            m_out[2][l] = c.C[0][0]
+            m_out[3][l] = c.C[0][1]
+            m_out[4][l] = c.C[1][1]
+        new = _pack_elem(c)
+        for i in range(_N_TOT):
+            car[i][...] = new[i]
+        llk_acc[...] = acc
+
+        @pl.when(lc == n_lc - 1)
+        def _():
+            llk_out[...] = llk_acc[...]
+
+    outs = pl.pallas_call(
+        scan_kernel,
+        grid=grid,
+        in_specs=[h_spec] + [in_spec] * 10 + [tot_spec] * _N_TOT,
+        out_specs=[in_spec] * 5 + [tot_spec],
+        out_shape=(
+            [jax.ShapeDtypeStruct((L_pad, MID, 128), dtype)] * 5
+            + [jax.ShapeDtypeStruct((MID, 128), dtype)]
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((8, 128), dtype)] * _N_TOT
+            + [pltpu.VMEM((8, 128), dtype)]
+        ),
+        interpret=_interpret(),
+    )(h_arr, *tiles, *excl_tiles)
+
+    llk = jnp.sum(outs[5])
+    if not want_moments:
+        return llk, None, None
+
+    def from_tiles(x):
+        x = x.reshape(L_pad, lanes)[:L]  # (L, lanes)
+        x = x.reshape(L, d, NB)
+        x = jnp.moveaxis(x, 0, -1).reshape(d, NB * L)[:, :n]
+        return x
+
+    m0, m1, P00, P01, P11 = (from_tiles(x) for x in outs[:5])
+    m_f = (m0, m1)
+    P_f = ((P00, P01), (P01, P11))
+    return llk, m_f, P_f
+
+
+# ---------------------------------------------------------------------------
+# Fused backward: RTS smoother + Fisher-identity score in two kernels
+# ---------------------------------------------------------------------------
+
+from smoothsde_tpu.ops.kalman_smooth import Smooth2, _combine2_rev  # noqa: E402
+
+_N_SM = 9  # smoothing-element components: E(4) g(2) L(3)
+
+
+def _pack_sm(e: Smooth2):
+    return [
+        e.E[0][0], e.E[0][1], e.E[1][0], e.E[1][1],
+        e.g[0], e.g[1],
+        e.L[0][0], e.L[0][1], e.L[1][1],
+    ]
+
+
+def _unpack_sm(v) -> Smooth2:
+    return Smooth2(
+        E=((v[0], v[1]), (v[2], v[3])),
+        g=(v[4], v[5]),
+        L=((v[6], v[7]), (v[7], v[8])),
+    )
+
+
+_ID_SM = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+
+
+class _BwdTiles(NamedTuple):
+    """Inputs for the backward kernels (slot i carries the transition
+    LEAVING i, i.e. entering i+1)."""
+
+    fn01: jax.Array
+    fn11: jax.Array
+    qn00: jax.Array
+    qn01: jax.Array
+    qn11: jax.Array
+    cn0: jax.Array
+    cn1: jax.Array
+    m0: jax.Array
+    m1: jax.Array
+    Pf00: jax.Array
+    Pf01: jax.Array
+    Pf11: jax.Array
+    te: jax.Array  # track end (f32)
+    tvn: jax.Array  # transition i->i+1 has a density (f32)
+    y: jax.Array
+    upd: jax.Array
+    rst: jax.Array
+
+
+def _smooth_elem(t, l):
+    """Build the RTS smoothing element at step l from tile rows.
+
+    Exploits Fn[0][0] = 1, Fn[1][0] = 0. Returns (Smooth2, G-tuple)
+    with G the unmasked RTS gain (used by the lag-one covariance)."""
+    f01 = t.fn01[l]
+    f11 = t.fn11[l]
+    q00 = t.qn00[l]
+    q01 = t.qn01[l]
+    q11 = t.qn11[l]
+    c0 = t.cn0[l]
+    c1 = t.cn1[l]
+    m0 = t.m0[l]
+    m1 = t.m1[l]
+    P00 = t.Pf00[l]
+    P01 = t.Pf01[l]
+    P11 = t.Pf11[l]
+    TE = t.te[l]
+
+    # Pp = Fn P Fn' + Qn  (row0 of Fn = (1, f01), row1 = (0, f11))
+    Pp00 = P00 + 2.0 * f01 * P01 + f01 * f01 * P11 + q00
+    Pp01 = f11 * (P01 + f01 * P11) + q01
+    Pp11 = f11 * f11 * P11 + q11
+    det = Pp00 * Pp11 - Pp01 * Pp01
+    i00 = Pp11 / det
+    i01 = -Pp01 / det
+    i11 = Pp00 / det
+    # P Fn': (P Fn')_{ab} = sum_k P_{ak} Fn_{bk} with Fn rows
+    # (1, f01) and (0, f11)
+    PF00 = P00 + f01 * P01
+    PF01 = f11 * P01
+    PF10 = P01 + f01 * P11
+    PF11 = f11 * P11
+    G00 = PF00 * i00 + PF01 * i01
+    G01 = PF00 * i01 + PF01 * i11
+    G10 = PF10 * i00 + PF11 * i01
+    G11 = PF10 * i01 + PF11 * i11
+    # g = m - G (Fn m + cn)
+    u0 = m0 + f01 * m1 + c0
+    u1 = f11 * m1 + c1
+    g0 = m0 - (G00 * u0 + G01 * u1)
+    g1 = m1 - (G10 * u0 + G11 * u1)
+    # L = P - G Pp G'
+    GP00 = G00 * Pp00 + G01 * Pp01
+    GP01 = G00 * Pp01 + G01 * Pp11
+    GP10 = G10 * Pp00 + G11 * Pp01
+    GP11 = G10 * Pp01 + G11 * Pp11
+    L00 = P00 - (GP00 * G00 + GP01 * G01)
+    L01 = P01 - (GP00 * G10 + GP01 * G11)
+    L11 = P11 - (GP10 * G10 + GP11 * G11)
+
+    nTE = 1.0 - TE
+    elem = Smooth2(
+        E=((nTE * G00, nTE * G01), (nTE * G10, nTE * G11)),
+        g=(TE * m0 + nTE * g0, TE * m1 + nTE * g1),
+        L=(
+            (TE * P00 + nTE * L00, TE * P01 + nTE * L01),
+            (TE * P01 + nTE * L01, TE * P11 + nTE * L11),
+        ),
+    )
+    return elem, (G00, G01, G10, G11)
+
+
+def fused_backward(sys, m_f, P_f, gbar):
+    """Fused smoother + score: cotangents for (Ft, ct, Qt, yd, h).
+
+    Two Pallas kernels mirroring the forward pass, run in REVERSED time
+    order (suffix composition): kernel 3 emits block totals of the
+    smoothing elements, a tiny XLA pass builds exclusive suffixes, and
+    kernel 4 recomputes the within-block backward scan while emitting
+    the elementwise Fisher-identity score (cotangent) arrays directly.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    yd = sys.yd
+    d, n = yd.shape
+    dtype = yd.dtype
+    p0_pos = float(sys.p0_pos)
+    p0_vel = float(sys.p0_vel)
+
+    base = 1024 // int(np.gcd(d, 1024))
+    NB = base
+    while NB * 2 <= min(2048, max(n, base)):
+        NB *= 2
+    L = -(-n // NB)
+    L_CH = 16
+    L_pad = -(-L // L_CH) * L_CH
+    lanes = d * NB
+    MID = lanes // 128
+    n_lc = L_pad // L_CH
+    grid = (MID // 8, n_lc)
+
+    bc = lambda x: jnp.broadcast_to(x, (d, n))  # noqa: E731
+    sb = lambda x: jnp.concatenate(  # noqa: E731  shift BACK (i+1 -> i)
+        [x[..., 1:], jnp.zeros(x.shape[:-1] + (1,), x.dtype)], axis=-1
+    )
+    sb1 = lambda x: jnp.concatenate(  # noqa: E731  shift back, fill 1
+        [x[..., 1:], jnp.ones(x.shape[:-1] + (1,), x.dtype)], axis=-1
+    )
+
+    reset = sys.reset
+    te = jnp.concatenate([reset[1:], jnp.ones((1,), bool)])
+    tv = (~reset) & (~sys.prev_reset)
+    tvn = sb(tv.astype(dtype))
+
+    raw = [
+        bc(sb(sys.Ft[0][1])), bc(sb1(sys.Ft[1][1])),
+        bc(sb(sys.Qt[0][0])), bc(sb(sys.Qt[0][1])), bc(sb(sys.Qt[1][1])),
+        bc(sb(sys.ct[0])), bc(sb(sys.ct[1])),
+        m_f[0], m_f[1], P_f[0][0], P_f[0][1], P_f[1][1],
+        bc(te.astype(dtype)), bc(tvn),
+        yd, bc(sys.update.astype(dtype)), bc(reset.astype(dtype)),
+    ]
+    # padding entries must form IDENTITY smoothing elements so they pass
+    # the suffix composition through untouched: m = 0, P = I, Qn = 0,
+    # Fn = I and te = 0 make G = I, g = 0, L = 0 (an absorbing te = 1
+    # element would destroy the carried suffix). Scores stay masked via
+    # tvn = upd = rst = 0.
+    pad_vals = [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+                0.0, 0.0, 1.0, 0.0, 1.0,
+                0.0, 0.0, 0.0, 0.0, 0.0]
+
+    def to_tiles(x, pv):
+        pad_n = NB * L - n
+        if pad_n:
+            x = jnp.concatenate(
+                [x, jnp.full((d, pad_n), pv, dtype)], axis=1
+            )
+        x = x.reshape(d, NB, L)
+        x = jnp.moveaxis(x, -1, 0).reshape(L, lanes)
+        if L_pad != L:
+            x = jnp.concatenate(
+                [x, jnp.full((L_pad - L, lanes), pv, dtype)], axis=0
+            )
+        return x.reshape(L_pad, MID, 128)
+
+    tiles = _BwdTiles(*[to_tiles(x, pv) for x, pv in zip(raw, pad_vals)])
+    h_arr = jnp.asarray(sys.h, dtype).reshape(1, 1)
+
+    rev_spec = pl.BlockSpec(
+        (L_CH, 8, 128),
+        lambda m, lc: (n_lc - 1 - lc, m, 0),
+        memory_space=pltpu.VMEM,
+    )
+    tot_spec = pl.BlockSpec(
+        (8, 128), lambda m, lc: (m, 0), memory_space=pltpu.VMEM
+    )
+    h_spec = pl.BlockSpec(
+        (1, 1), lambda m, lc: (0, 0), memory_space=pltpu.SMEM
+    )
+
+    # ---- kernel 3: backward block totals ----
+    def sm_totals_kernel(h_ref, *refs):
+        ins = _BwdTiles(*refs[:17])
+        outs = refs[17 : 17 + _N_SM]
+        car = refs[17 + _N_SM :]
+        lc = pl.program_id(1)
+
+        @pl.when(lc == 0)
+        def _():
+            for i in range(_N_SM):
+                car[i][...] = jnp.full((8, 128), _ID_SM[i], dtype)
+
+        acc = _unpack_sm([r[...] for r in car])
+        for l in reversed(range(L_CH)):
+            e, _ = _smooth_elem(ins, l)
+            acc = _combine2_rev(acc, e)
+        new = _pack_sm(acc)
+        for i in range(_N_SM):
+            car[i][...] = new[i]
+
+        @pl.when(lc == n_lc - 1)
+        def _():
+            for i in range(_N_SM):
+                outs[i][...] = car[i][...]
+
+    totals = pl.pallas_call(
+        sm_totals_kernel,
+        grid=grid,
+        in_specs=[h_spec] + [rev_spec] * 17,
+        out_specs=[tot_spec] * _N_SM,
+        out_shape=[jax.ShapeDtypeStruct((MID, 128), dtype)] * _N_SM,
+        scratch_shapes=[pltpu.VMEM((8, 128), dtype)] * _N_SM,
+        interpret=_interpret(),
+    )(h_arr, *tiles)
+
+    # ---- phase 2: exclusive SUFFIX composition across blocks ----
+    def to_dnb(x):
+        return x.reshape(lanes).reshape(d, NB)
+
+    tot_dnb = [to_dnb(x) for x in totals]
+    flipped = jax.tree.map(lambda x: jnp.flip(x, axis=-1), _unpack_sm(tot_dnb))
+    incl = jax.lax.associative_scan(_combine2_rev, flipped, axis=-1)
+    incl = jax.tree.map(lambda x: jnp.flip(x, axis=-1), incl)
+    incl_flat = _pack_sm(incl)
+    excl = [
+        jnp.concatenate(
+            [x[:, 1:], jnp.full((d, 1), _ID_SM[i], dtype)], axis=1
+        )
+        for i, x in enumerate(incl_flat)
+    ]
+    excl_tiles = [x.reshape(lanes).reshape(MID, 128) for x in excl]
+
+    # ---- kernel 4: seeded backward re-scan + score emission ----
+    def score_kernel(h_ref, *refs):
+        ins = _BwdTiles(*refs[:17])
+        pref = refs[17 : 17 + _N_SM]
+        cot = refs[17 + _N_SM : 17 + _N_SM + 8]
+        hbar_out = refs[17 + _N_SM + 8]
+        car = refs[17 + _N_SM + 9 : 17 + _N_SM + 9 + _N_SM]
+        hacc = refs[17 + _N_SM + 9 + _N_SM]
+        lc = pl.program_id(1)
+        h = h_ref[0, 0]
+
+        @pl.when(lc == 0)
+        def _():
+            for i in range(_N_SM):
+                car[i][...] = pref[i][...]
+            hacc[...] = jnp.zeros((8, 128), dtype)
+
+        acc = _unpack_sm([r[...] for r in car])
+        ha = hacc[...]
+        for l in reversed(range(L_CH)):
+            # smoothed at i+1 is the incoming accumulator
+            ms1_0, ms1_1 = acc.g
+            Ps1_00, Ps1_01 = acc.L[0]
+            Ps1_11 = acc.L[1][1]
+            e, G = _smooth_elem(ins, l)
+            acc = _combine2_rev(acc, e)
+            ms0, ms1 = acc.g  # smoothed at i
+            Ps00, Ps01 = acc.L[0]
+            Ps11 = acc.L[1][1]
+
+            TVn = ins.tvn[l]
+            f01 = ins.fn01[l]
+            f11 = ins.fn11[l]
+            c0 = ins.cn0[l]
+            c1 = ins.cn1[l]
+            # sanitized Qn inverse
+            q00 = TVn * ins.qn00[l] + (1.0 - TVn)
+            q01 = TVn * ins.qn01[l]
+            q11 = TVn * ins.qn11[l] + (1.0 - TVn)
+            det = q00 * q11 - q01 * q01
+            qi00 = q11 / det
+            qi01 = -q01 / det
+            qi11 = q00 / det
+
+            # lag-one Cov(x_{i+1}, x_i | y) = P_s_{i+1} G'
+            C00 = Ps1_00 * G[0] + Ps1_01 * G[1]
+            C01 = Ps1_00 * G[2] + Ps1_01 * G[3]
+            C10 = Ps1_01 * G[0] + Ps1_11 * G[1]
+            C11 = Ps1_01 * G[2] + Ps1_11 * G[3]
+            # E[x_i x_i'] and E[x_{i+1} x_i']
+            Exx00 = Ps00 + ms0 * ms0
+            Exx01 = Ps01 + ms0 * ms1
+            Exx11 = Ps11 + ms1 * ms1
+            Ex2x00 = C00 + ms1_0 * ms0
+            Ex2x01 = C01 + ms1_0 * ms1
+            Ex2x10 = C10 + ms1_1 * ms0
+            Ex2x11 = C11 + ms1_1 * ms1
+            # r = m_{i+1} - Fn m_i - cn ; Fn rows (1, f01), (0, f11)
+            Fm0 = ms0 + f01 * ms1
+            Fm1 = f11 * ms1
+            r0 = ms1_0 - Fm0 - c0
+            r1 = ms1_1 - Fm1 - c1
+
+            # Fbar = Qinv (Ex2x1 - Fn Exx - cn m_i')   [needs rows]
+            T00 = Ex2x00 - (Exx00 + f01 * Exx01) - c0 * ms0
+            T01 = Ex2x01 - (Exx01 + f01 * Exx11) - c0 * ms1
+            T10 = Ex2x10 - f11 * Exx01 - c1 * ms0
+            T11 = Ex2x11 - f11 * Exx11 - c1 * ms1
+            Fb01 = qi00 * T01 + qi01 * T11
+            Fb11 = qi01 * T01 + qi11 * T11
+            # cbar = Qinv r
+            cb0 = qi00 * r0 + qi01 * r1
+            cb1 = qi01 * r0 + qi11 * r1
+            # E[r r'] = P_{i+1} + Fn P_i Fn' - C Fn' - Fn C' + r r'
+            FP00 = Ps00 + 2.0 * f01 * Ps01 + f01 * f01 * Ps11
+            FP01 = f11 * (Ps01 + f01 * Ps11)
+            FP11 = f11 * f11 * Ps11
+            CF00 = C00 + f01 * C01
+            CF01 = f11 * C01
+            CF10 = C10 + f01 * C11
+            CF11 = f11 * C11
+            E00 = Ps1_00 + FP00 - 2.0 * CF00 + r0 * r0
+            E01 = Ps1_01 + FP01 - CF01 - CF10 + r0 * r1
+            E11 = Ps1_11 + FP11 - 2.0 * CF11 + r1 * r1
+            # Qbar = 0.5 (Qinv Errt Qinv - Qinv)
+            A00 = qi00 * E00 + qi01 * E01
+            A01 = qi00 * E01 + qi01 * E11
+            A10 = qi01 * E00 + qi11 * E01
+            A11 = qi01 * E01 + qi11 * E11
+            Qb00 = 0.5 * ((A00 * qi00 + A01 * qi01) - qi00)
+            Qb01 = 0.5 * ((A00 * qi01 + A01 * qi11) - qi01)
+            Qb11 = 0.5 * ((A10 * qi01 + A11 * qi11) - qi11)
+
+            cot[0][l] = TVn * Fb01
+            cot[1][l] = TVn * Fb11
+            cot[2][l] = TVn * Qb00
+            cot[3][l] = TVn * Qb01
+            cot[4][l] = TVn * Qb11
+            cot[5][l] = TVn * cb0
+            cot[6][l] = TVn * cb1
+
+            # obs + prior score at i (gbar scaling applied outside)
+            U = ins.upd[l]
+            R = ins.rst[l]
+            resid = ins.y[l] - ms0
+            cot[7][l] = U * (-resid / h) + R * (-resid / p0_pos)
+            Ey2 = resid * resid + Ps00
+            ha = ha + U * (0.5 * Ey2 / (h * h) - 0.5 / h)
+
+        new = _pack_sm(acc)
+        for i in range(_N_SM):
+            car[i][...] = new[i]
+        hacc[...] = ha
+
+        @pl.when(lc == n_lc - 1)
+        def _():
+            hbar_out[...] = hacc[...]
+
+    outs = pl.pallas_call(
+        score_kernel,
+        grid=grid,
+        in_specs=[h_spec] + [rev_spec] * 17 + [tot_spec] * _N_SM,
+        out_specs=[rev_spec] * 8 + [tot_spec],
+        out_shape=(
+            [jax.ShapeDtypeStruct((L_pad, MID, 128), dtype)] * 8
+            + [jax.ShapeDtypeStruct((MID, 128), dtype)]
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((8, 128), dtype)] * _N_SM
+            + [pltpu.VMEM((8, 128), dtype)]
+        ),
+        interpret=_interpret(),
+    )(h_arr, *tiles, *excl_tiles)
+
+    def from_tiles(x):
+        x = x.reshape(L_pad, lanes)[:L]
+        x = x.reshape(L, d, NB)
+        return jnp.moveaxis(x, 0, -1).reshape(d, NB * L)[:, :n]
+
+    c_f01, c_f11, c_q00, c_q01, c_q11, c_c0, c_c1, c_y = (
+        gbar * from_tiles(x) for x in outs[:8]
+    )
+    hbar = gbar * jnp.sum(outs[8])
+
+    # score at slot i belongs to the transition ENTERING i+1: shift
+    # forward; transition components shared across dims sum over d.
+    def fwd1(x):  # (d, n) -> (d, n), slot i+1 <- slot i
+        return jnp.concatenate(
+            [jnp.zeros((d, 1), x.dtype), x[:, :-1]], axis=1
+        )
+
+    sum_d = lambda x: jnp.sum(x, axis=0)  # noqa: E731
+    zero_n = jnp.zeros((n,), dtype)
+    Ftbar = (
+        (zero_n, sum_d(fwd1(c_f01))),
+        (zero_n, sum_d(fwd1(c_f11))),
+    )
+    ctbar = (fwd1(c_c0), fwd1(c_c1))
+    q01b = sum_d(fwd1(c_q01))
+    Qtbar = (
+        (sum_d(fwd1(c_q00)), q01b),
+        (q01b, sum_d(fwd1(c_q11))),
+    )
+    ybar = c_y
+    return Ftbar, ctbar, Qtbar, ybar, hbar.reshape(jnp.shape(sys.h))

@@ -169,27 +169,39 @@ def llk2_analytic(sys, scan: str = "auto"):
     p0_pos, p0_vel = sys.p0_pos, sys.p0_vel
 
     def _filter(Ft, ct, Qt, yd, h):
+        sys2 = sys._replace(Ft=Ft, ct=ct, Qt=Qt, yd=yd, h=h)
+        if scan == "fused":
+            from smoothsde_tpu.ops.ctcrw_fused import fused_filter
+
+            return fused_filter(sys2, want_moments=True)
         elem = _build_elem2(
             Ft, ct, Qt, yd, h, reset, update, p0_pos, p0_vel
         )
         sc = _scan_elements(_combine2, _ID2, elem, scan)
-        sys2 = sys._replace(Ft=Ft, ct=ct, Qt=Qt, yd=yd, h=h)
-        return _llk_from_filtered(sys2, sc.b, sc.C), sc
+        return _llk_from_filtered(sys2, sc.b, sc.C), sc.b, sc.C
 
     @jax.custom_vjp
     def core(Ft, ct, Qt, yd, h):
         return _filter(Ft, ct, Qt, yd, h)[0]
 
     def core_fwd(Ft, ct, Qt, yd, h):
-        llk, sc = _filter(Ft, ct, Qt, yd, h)
-        return llk, (Ft, ct, Qt, yd, h, sc.b, sc.C)
+        llk, m_f, P_f = _filter(Ft, ct, Qt, yd, h)
+        return llk, (Ft, ct, Qt, yd, h, m_f, P_f)
 
     def core_bwd(res, gbar):
         Ft, ct, Qt, yd, h, m_f, P_f = res
+        if scan == "fused":
+            from smoothsde_tpu.ops.ctcrw_fused import fused_backward
+
+            sys2 = sys._replace(Ft=Ft, ct=ct, Qt=Qt, yd=yd, h=h)
+            return fused_backward(sys2, m_f, P_f, gbar)
+        smoother_scan = scan
         te = jnp.broadcast_to(
             jnp.concatenate([reset[1:], jnp.ones((1,), bool)]), yd.shape
         )
-        m_s, P_s, G = rts_smoother_soa(Ft, ct, Qt, m_f, P_f, te, scan)
+        m_s, P_s, G = rts_smoother_soa(
+            Ft, ct, Qt, m_f, P_f, te, smoother_scan
+        )
 
         def sf(x, fill=0.0):  # value at i-1 in slot i
             return jnp.concatenate(

@@ -141,6 +141,10 @@ def _scan_elements(combine, identity, elem, scan: str):
         scan = "blocked"
     if scan == "blocked":
         return blocked_associative_scan(combine, identity, elem)
+    if scan == "pallas":
+        return blocked_associative_scan(
+            combine, identity, elem, phase1="pallas"
+        )
     return jax.lax.associative_scan(combine, elem, axis=-1)
 
 
@@ -360,6 +364,10 @@ def ctcrw_loglik_soa(par_mat, obs, times, ids, sigma_obs, p0_pos=1.0,
         from smoothsde_tpu.ops.kalman_smooth import llk2_analytic
 
         return llk2_analytic(sys, scan)
+    if scan == "fused":
+        from smoothsde_tpu.ops.ctcrw_fused import fused_filter
+
+        return fused_filter(sys, want_moments=False)[0]
     scanned = _scan_elements(_combine2, _ID2, sys.elem, scan)
     return _llk_from_filtered(sys, scanned.b, scanned.C)
 

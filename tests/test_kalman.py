@@ -407,3 +407,41 @@ class TestSmoothedStates:
             assert np.allclose(
                 np.asarray(means)[0, i], mean_cond, atol=1e-7
             ), i
+
+
+class TestFusedPallas:
+    """Fused Pallas filter (interpret mode on CPU): value and
+    Fisher-identity gradient vs the sequential AD oracle."""
+
+    def test_fused_value_and_grad(self, monkeypatch):
+        import os
+        monkeypatch.setenv("SMOOTHSDE_PALLAS_INTERPRET", "1")
+        import jax
+        from smoothsde_tpu.ops.kalman_soa import ctcrw_loglik_soa
+
+        rng = np.random.default_rng(60)
+        n = 80
+        times = np.cumsum(rng.uniform(0.2, 0.8, size=n))
+        ids = np.sort(rng.integers(0, 2, size=n))
+        obs = np.cumsum(rng.normal(size=(n, 2)) * 0.3, axis=0)
+        obs[20] = np.nan
+        theta = jnp.asarray([0.05, -0.1, np.log(2.0), np.log(1.0)])
+
+        def nll_fused(th):
+            par = jnp.broadcast_to(th, (n, 4))
+            return -ctcrw_loglik_soa(
+                par, obs, times, ids, sigma_obs=0.2,
+                scan="fused", analytic_grad=True,
+            )
+
+        def nll_seq(th):
+            par = jnp.broadcast_to(th, (n, 4))
+            steps = ctcrw_steps(
+                par, jnp.asarray(obs), jnp.asarray(times), ids, sigma_obs=0.2
+            )
+            return -kalman_loglik_sequential(steps)[0]
+
+        v_f, g_f = jax.value_and_grad(nll_fused)(theta)
+        v_s, g_s = jax.value_and_grad(nll_seq)(theta)
+        assert np.isclose(float(v_f), float(v_s), rtol=1e-10)
+        assert np.allclose(np.asarray(g_f), np.asarray(g_s), rtol=1e-8)
