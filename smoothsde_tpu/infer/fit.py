@@ -130,9 +130,13 @@ def fit_model(
 
     # scipy BFGS reports "precision loss" when the line search stalls at
     # the optimum; treat a small gradient as converged regardless
-    # (optim's BFGS would report 0 here).
+    # (optim's BFGS would report 0 here). The tolerance scales with the
+    # objective magnitude and dtype: f32 TPU gradients carry relative
+    # noise ~1e-4 of |nllk|.
+    eps = 1e-4 if np.asarray(g_hat).dtype == np.float32 else 1e-6
+    gtol = max(1e-3, eps * (1.0 + abs(v_hat)))
     converged = bool(res.success) or (
-        np.isfinite(v_hat) and np.max(np.abs(g_hat)) < 1e-3
+        np.isfinite(v_hat) and np.max(np.abs(g_hat)) < gtol
     )
 
     out = FitResult(

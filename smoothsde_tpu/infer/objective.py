@@ -295,6 +295,19 @@ def build_objective(
                     sobs = jnp.exp(full["log_sigma_obs"][0])
                     if impl == "soa":
                         if spec.type == "CTCRW":
+                            # Without random effects there is no inner
+                            # Newton (no forward-mode through the
+                            # likelihood), so the fused Pallas filter +
+                            # Fisher-identity custom_vjp is usable for
+                            # the whole fit. With RE, the Laplace
+                            # Hessian needs jacfwd, which custom_vjp
+                            # does not support -> AD path.
+                            if not has_re:
+                                return ctcrw_loglik_soa(
+                                    par_matrix(full), obs_j, times_j,
+                                    ids_j, sigma_obs=sobs,
+                                    scan="fused", analytic_grad=True,
+                                )
                             return ctcrw_loglik_soa(
                                 par_matrix(full), obs_j, times_j, ids_j,
                                 sigma_obs=sobs,

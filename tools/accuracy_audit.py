@@ -18,9 +18,13 @@ def run_mode(mode, n):
     ids = np.zeros(n, np.int32)
     theta = jnp.asarray([0.05, -0.02, np.log(2.0), np.log(1.0)], dtype)
     o, t = jnp.asarray(obs, dtype), jnp.asarray(times, dtype)
+    scan = "blocked" if mode == "f64" else "fused"
+    analytic = True  # Fisher-identity bwd avoids AD-through-associative (CPU bug)
+
     def nllk(th):
         par = jnp.broadcast_to(th, (n, 4))
-        return -ctcrw_loglik_soa(par, o, t, ids, sigma_obs=jnp.asarray(0.1, dtype))
+        return -ctcrw_loglik_soa(par, o, t, ids, sigma_obs=jnp.asarray(0.1, dtype),
+                                 scan=scan, analytic_grad=analytic)
     v, g = jax.value_and_grad(nllk)(theta)
     print(json.dumps({"mode": mode, "backend": jax.default_backend(),
                       "v": float(v), "g": np.asarray(g, np.float64).tolist()}))
