@@ -61,9 +61,9 @@ def main():
     v, g = fn(theta0)
     v.block_until_ready()
 
-    reps = 10
+    reps = 30
     best = np.inf
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.perf_counter()
         for _ in range(reps):
             v, g = fn(theta0)

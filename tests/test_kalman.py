@@ -445,3 +445,38 @@ class TestFusedPallas:
         v_s, g_s = jax.value_and_grad(nll_seq)(theta)
         assert np.isclose(float(v_f), float(v_s), rtol=1e-10)
         assert np.allclose(np.asarray(g_f), np.asarray(g_s), rtol=1e-8)
+
+    def test_fused_multiblock_value_and_grad(self, monkeypatch):
+        """n > NB exercises the cross-block prefix/suffix seeding
+        (L > 1) in both fused kernels."""
+        monkeypatch.setenv("SMOOTHSDE_PALLAS_INTERPRET", "1")
+        import jax
+        from smoothsde_tpu.ops.kalman_soa import ctcrw_loglik_soa
+
+        rng = np.random.default_rng(61)
+        n = 1200  # NB = 1024 for d = 2 -> 2 time blocks per lane... L=2
+        times = np.cumsum(rng.uniform(0.2, 0.8, size=n))
+        ids = np.sort(rng.integers(0, 3, size=n))
+        obs = np.cumsum(rng.normal(size=(n, 2)) * 0.3, axis=0)
+        obs[500] = np.nan
+        theta = jnp.asarray([0.02, -0.03, np.log(2.5), np.log(0.8)])
+
+        def nll_fused(th):
+            par = jnp.broadcast_to(th, (n, 4))
+            return -ctcrw_loglik_soa(
+                par, obs, times, ids, sigma_obs=0.25,
+                scan="fused", analytic_grad=True,
+            )
+
+        def nll_seq(th):
+            par = jnp.broadcast_to(th, (n, 4))
+            steps = ctcrw_steps(
+                par, jnp.asarray(obs), jnp.asarray(times), ids,
+                sigma_obs=0.25,
+            )
+            return -kalman_loglik_sequential(steps)[0]
+
+        v_f, g_f = jax.value_and_grad(nll_fused)(theta)
+        v_s, g_s = jax.value_and_grad(nll_seq)(theta)
+        assert np.isclose(float(v_f), float(v_s), rtol=1e-10)
+        assert np.allclose(np.asarray(g_f), np.asarray(g_s), rtol=1e-8)
