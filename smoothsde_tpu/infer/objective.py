@@ -312,6 +312,15 @@ def build_objective(
                                 par_matrix(full), obs_j, times_j, ids_j,
                                 sigma_obs=sobs,
                             )
+                        if not has_re:
+                            from smoothsde_tpu.ops.diag_fused import (
+                                diag_ssm_loglik_fused,
+                            )
+
+                            return diag_ssm_loglik_fused(
+                                spec.type, par_matrix(full), obs_j,
+                                times_j, ids_j, sigma_obs=sobs,
+                            )
                         return diag_ssm_loglik_soa(
                             spec.type, par_matrix(full), obs_j, times_j,
                             ids_j, sigma_obs=sobs,

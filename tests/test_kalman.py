@@ -480,3 +480,43 @@ class TestFusedPallas:
         v_s, g_s = jax.value_and_grad(nll_seq)(theta)
         assert np.isclose(float(v_f), float(v_s), rtol=1e-10)
         assert np.allclose(np.asarray(g_f), np.asarray(g_s), rtol=1e-8)
+
+    def test_diag_fused_value_and_grad(self, monkeypatch):
+        """Scalar-state fused kernels (BM_SSM/OU_SSM) vs the sequential
+        AD oracle, including a multi-block case."""
+        monkeypatch.setenv("SMOOTHSDE_PALLAS_INTERPRET", "1")
+        import jax
+        from smoothsde_tpu.ops.diag_fused import diag_ssm_loglik_fused
+
+        rng = np.random.default_rng(62)
+        n = 150
+        times = np.cumsum(rng.uniform(0.2, 0.8, size=n))
+        ids = np.sort(rng.integers(0, 2, size=n))
+        obs = np.cumsum(rng.normal(size=(n, 2)) * 0.3, axis=0)
+        obs[30] = np.nan
+        for type, n_par in (("BM_SSM", 3), ("OU_SSM", 4)):
+            theta = jnp.asarray(
+                np.concatenate([[0.05, -0.1], 0.2 * np.ones(n_par - 2)])
+            )
+
+            def nll_f(th, type=type, n_par=n_par):
+                par = jnp.broadcast_to(th, (n, n_par))
+                return -diag_ssm_loglik_fused(
+                    type, par, obs, times, ids, sigma_obs=0.3
+                )
+
+            def nll_s(th, type=type, n_par=n_par):
+                par = jnp.broadcast_to(th, (n, n_par))
+                builder = bm_ssm_steps if type == "BM_SSM" else ou_ssm_steps
+                st = builder(
+                    par, jnp.asarray(obs), jnp.asarray(times), ids,
+                    sigma_obs=0.3,
+                )
+                return -kalman_loglik_sequential(st)[0]
+
+            vf, gf = jax.value_and_grad(nll_f)(theta)
+            vs, gs = jax.value_and_grad(nll_s)(theta)
+            assert np.isclose(float(vf), float(vs), rtol=1e-10), type
+            assert np.allclose(
+                np.asarray(gf), np.asarray(gs), rtol=1e-8
+            ), type
