@@ -133,10 +133,10 @@ def fit_model(
     # (optim's BFGS would report 0 here). The tolerance scales with the
     # objective magnitude and dtype: f32 TPU gradients carry relative
     # noise ~1e-4 of |nllk|.
-    eps = 1e-4 if np.asarray(g_hat).dtype == np.float32 else 1e-6
+    eps = 1e-3 if np.asarray(g_hat).dtype == np.float32 else 1e-6
     gtol = max(1e-3, eps * (1.0 + abs(v_hat)))
-    converged = bool(res.success) or (
-        np.isfinite(v_hat) and np.max(np.abs(g_hat)) < gtol
+    converged = np.isfinite(v_hat) and (
+        bool(res.success) or np.max(np.abs(g_hat)) < gtol
     )
 
     out = FitResult(

@@ -31,7 +31,10 @@ class LaplaceConfig(NamedTuple):
     ridge: float = 1e-9
 
 
-_ALPHAS = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01)
+# 0.0 included: when every step size increases the objective (or lands
+# on non-finite values), the iterate stays put instead of argmin
+# picking an arbitrary bad candidate.
+_ALPHAS = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01, 0.0)
 
 
 def make_laplace(joint_nllk: Callable, packer, config: LaplaceConfig = LaplaceConfig()):

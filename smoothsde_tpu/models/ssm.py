@@ -28,8 +28,16 @@ import jax.numpy as jnp
 from smoothsde_tpu.ops.kalman import KalmanSteps
 
 
-def _dt_from_times(times):
+def _dt_from_times(times, ids=None):
+    """Per-step dt with dt_{n-1} = 1 (dummy, reference convention) and
+    cross-track intervals replaced by 1: each track's clock may restart,
+    making raw diffs negative; exp(-beta*dt) then overflows in f32 and
+    poisons gradients through the masked branches (0 * inf = NaN)."""
     dt = jnp.diff(times)
+    if ids is not None:
+        ids = jnp.asarray(ids)
+        same = ids[1:] == ids[:-1]
+        dt = jnp.where(same, dt, 1.0)
     return jnp.concatenate([dt, jnp.ones((1,), dt.dtype)])
 
 
@@ -46,7 +54,7 @@ def _scatter_track_starts(values_at_starts, reset):
 
 
 def _common(obs, times, ids):
-    dt = _dt_from_times(jnp.asarray(times))
+    dt = _dt_from_times(jnp.asarray(times), ids)
     reset = _reset_mask(ids)
     valid = jnp.isfinite(jnp.asarray(obs)[:, 0])
     y = jnp.nan_to_num(jnp.asarray(obs), nan=0.0)

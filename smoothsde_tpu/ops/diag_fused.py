@@ -139,7 +139,14 @@ def diag_system(type, par_mat, obs, times, ids, sigma_obs, p0=10.0):
     ids = jnp.asarray(ids)
     n, n_dim = obs.shape
     dtype = par_mat.dtype
-    dt = jnp.concatenate([jnp.diff(times), jnp.ones((1,), times.dtype)])
+    # sanitize cross-track intervals (clocks restart per track; a
+    # negative dt overflows exp(-beta*dt) in f32 and NaN-poisons grads
+    # through the masked branches)
+    same_id = ids[1:] == ids[:-1]
+    dt = jnp.concatenate(
+        [jnp.where(same_id, jnp.diff(times), 1.0),
+         jnp.ones((1,), times.dtype)]
+    )
     reset = jnp.concatenate([jnp.ones((1,), bool), ids[1:] != ids[:-1]])
     valid = jnp.isfinite(obs[:, 0])
     y = jnp.nan_to_num(obs, nan=0.0)

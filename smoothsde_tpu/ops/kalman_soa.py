@@ -175,7 +175,14 @@ def _ctcrw_system(par_mat, obs, times, ids, sigma_obs, p0_pos=1.0,
     n, n_dim = obs.shape
     dtype = par_mat.dtype
 
-    dt = jnp.concatenate([jnp.diff(times), jnp.ones((1,), times.dtype)])
+    # sanitize cross-track intervals (clocks restart per track; a
+    # negative dt overflows exp(-beta*dt) in f32 and NaN-poisons grads
+    # through the masked branches)
+    same_id = ids[1:] == ids[:-1]
+    dt = jnp.concatenate(
+        [jnp.where(same_id, jnp.diff(times), 1.0),
+         jnp.ones((1,), times.dtype)]
+    )
     reset = jnp.concatenate([jnp.ones((1,), bool), ids[1:] != ids[:-1]])
     valid = jnp.isfinite(obs[:, 0])
     y = jnp.nan_to_num(obs, nan=0.0)  # (n, d)
@@ -385,7 +392,14 @@ def diag_ssm_loglik_soa(type, par_mat, obs, times, ids, sigma_obs,
     n, n_dim = obs.shape
     dtype = par_mat.dtype
 
-    dt = jnp.concatenate([jnp.diff(times), jnp.ones((1,), times.dtype)])
+    # sanitize cross-track intervals (clocks restart per track; a
+    # negative dt overflows exp(-beta*dt) in f32 and NaN-poisons grads
+    # through the masked branches)
+    same_id = ids[1:] == ids[:-1]
+    dt = jnp.concatenate(
+        [jnp.where(same_id, jnp.diff(times), 1.0),
+         jnp.ones((1,), times.dtype)]
+    )
     reset = jnp.concatenate([jnp.ones((1,), bool), ids[1:] != ids[:-1]])
     valid = jnp.isfinite(obs[:, 0])
     y = jnp.nan_to_num(obs, nan=0.0)

@@ -1,0 +1,163 @@
+"""End-to-end fit benchmarks for the BASELINE.md configs on the current
+backend. Usage: python tools/bench_configs.py <config> with config in
+{1, 2, 3, 4}. Appends a JSON line to tools/bench_configs.jsonl.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def config1():
+    """BM, constant parameters, elephant-scale track (~1k steps)."""
+    from smoothsde_tpu import SDE
+
+    rng = np.random.default_rng(0)
+    n = 1000
+    times = np.cumsum(rng.uniform(0.4, 0.6, size=n))
+    dt = np.diff(times)
+    z = np.concatenate([[0.0], np.cumsum(0.4 * dt + 0.8 * np.sqrt(dt) * rng.normal(size=n - 1))])
+    data = {"ID": np.zeros(n, int), "time": times, "z": z}
+    sde = SDE(data=data, type="BM", response="z", par0=[0.0, 1.0])
+    return sde, {"mu": 0.4, "sigma": 0.8}
+
+
+def config2():
+    """OU with spline-varying mean/diffusion via s(time)."""
+    from smoothsde_tpu import SDE
+
+    rng = np.random.default_rng(1)
+    n = 3000
+    dt = 0.3
+    times = np.arange(n) * dt
+    mu_t = 1.0 + 0.8 * np.sin(2 * np.pi * times / times[-1])
+    kap_t = np.exp(0.5 * np.cos(2 * np.pi * times / times[-1]))
+    tau = 2.0
+    x = np.empty(n)
+    x[0] = mu_t[0]
+    for i in range(1, n):
+        e = np.exp(-dt / tau)
+        x[i] = mu_t[i - 1] + e * (x[i - 1] - mu_t[i - 1]) + rng.normal() * np.sqrt(
+            kap_t[i - 1] * (1 - e * e)
+        )
+    data = {"ID": np.zeros(n, int), "time": times, "z": x}
+    sde = SDE(
+        formulas={
+            "mu": "~s(time, k=8, bs='cs')",
+            "tau": "~1",
+            "kappa": "~s(time, k=8, bs='cs')",
+        },
+        data=data, type="OU", response="z", par0=[1.0, 1.0, 1.0],
+    )
+    return sde, {"tau": 2.0}
+
+
+def config3():
+    """CTCRW Kalman on a 2-D GPS track with irregular time steps."""
+    from smoothsde_tpu import SDE
+    from smoothsde_tpu.utils.misc import ctcrw_cov
+
+    rng = np.random.default_rng(2)
+    n = 1500
+    times = np.cumsum(rng.uniform(0.2, 1.5, size=n))
+    tau_t, nu_t, sobs = 3.0, 1.0, 0.1
+    beta = 1 / tau_t
+    sigma = 2 * nu_t / np.sqrt(np.pi * tau_t)
+    v = np.zeros(2); z = np.zeros(2)
+    obs = np.empty((n, 2)); obs[0] = 0
+    for i in range(1, n):
+        dt = times[i] - times[i - 1]
+        e = np.exp(-beta * dt)
+        V = ctcrw_cov(beta, sigma, dt)
+        for d in range(2):
+            mv, mz = e * v[d], z[d] + v[d] / beta * (1 - e)
+            v[d], z[d] = rng.multivariate_normal([mv, mz], V)
+        obs[i] = z + rng.normal(size=2) * sobs
+    data = {"ID": np.zeros(n, int), "time": times,
+            "y1": obs[:, 0], "y2": obs[:, 1]}
+    sde = SDE(data=data, type="CTCRW", response=["y1", "y2"],
+              par0=[0.0, 0.0, 2.0, 0.8])
+    return sde, {"tau": 3.0, "nu": 1.0}
+
+
+def config4():
+    """Multi-animal CTCRW with an individual random effect on tau."""
+    from smoothsde_tpu import SDE
+    from smoothsde_tpu.utils.misc import ctcrw_cov
+
+    rng = np.random.default_rng(3)
+    n_id, n_per = 8, 250
+    n = n_id * n_per
+    rows = {"ID": [], "time": [], "y1": [], "y2": []}
+    for k in range(n_id):
+        tau_k = 3.0 * np.exp(rng.normal() * 0.3)
+        nu_k = 1.0
+        beta = 1 / tau_k
+        sigma = 2 * nu_k / np.sqrt(np.pi * tau_k)
+        times = np.cumsum(rng.uniform(0.3, 0.8, size=n_per))
+        v = np.zeros(2); z = np.zeros(2)
+        obs = np.empty((n_per, 2)); obs[0] = 0
+        for i in range(1, n_per):
+            dt = times[i] - times[i - 1]
+            e = np.exp(-beta * dt)
+            V = ctcrw_cov(beta, sigma, dt)
+            for d in range(2):
+                mv, mz = e * v[d], z[d] + v[d] / beta * (1 - e)
+                v[d], z[d] = rng.multivariate_normal([mv, mz], V)
+            obs[i] = z + rng.normal(size=2) * 0.1
+        rows["ID"].extend([f"a{k}"] * n_per)
+        rows["time"].extend(times.tolist())
+        rows["y1"].extend(obs[:, 0].tolist())
+        rows["y2"].extend(obs[:, 1].tolist())
+    data = {k: np.asarray(v) for k, v in rows.items()}
+    sde = SDE(
+        formulas={
+            "mu1": "~1", "mu2": "~1",
+            "tau": "~s(ID, bs='re')",
+            "nu": "~1",
+        },
+        data=data, type="CTCRW", response=["y1", "y2"],
+        par0=[0.0, 0.0, 2.0, 0.8],
+    )
+    return sde, {"tau_pop": 3.0}
+
+
+def main():
+    import jax
+
+    cfg = int(sys.argv[1])
+    sde, truth = {1: config1, 2: config2, 3: config3, 4: config4}[cfg]()
+    if cfg == 4:
+        # RE models need forward-mode Hessians in the inner Newton;
+        # jacfwd through the parallel scan compiles too slowly through
+        # the tunnel — the sequential scan is the right engine here.
+        sde.setup(kalman_impl="sequential")
+    t0 = time.time()
+    res = sde.fit(compute_sdreport=(cfg != 4))
+    wall = time.time() - t0
+    steady = res.timings["marginal_nllk_grad"]["steady_s"]
+    first = res.timings["marginal_nllk_grad"]["first_s"]
+    out = {
+        "config": cfg,
+        "backend": jax.default_backend(),
+        "n_obs": sde.n_obs(),
+        "converged": res.convergence == 0,
+        "nllk": round(res.value, 3),
+        "fit_wall_s": round(wall, 2),
+        "nllk_grad_steady_ms": round(steady * 1e3, 3),
+        "nllk_grad_first_s": round(first, 2),
+        "n_evals": res.counts,
+        "par_t0": np.round(sde.par(t=0)[0], 3).tolist(),
+        "truth": truth,
+    }
+    print(json.dumps(out), flush=True)
+    with open("tools/bench_configs.jsonl", "a") as f:
+        f.write(json.dumps(out) + "\n")
+
+
+if __name__ == "__main__":
+    main()
