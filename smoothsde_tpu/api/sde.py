@@ -338,8 +338,16 @@ class SDE:
     # Fitting (R/sde.R:481-720)
     # ------------------------------------------------------------------
 
-    def setup(self, map=None, kalman_impl: str = "auto"):
-        """Build the objective bundle (TMB MakeADFun equivalent)."""
+    def setup(self, map=None, kalman_impl: str = "auto", mesh=None,
+              mesh_axis: str = "tracks"):
+        """Build the objective bundle (TMB MakeADFun equivalent).
+
+        With `mesh` (a jax.sharding.Mesh), the likelihood is evaluated
+        track-sharded over the mesh axis `mesh_axis`: independent
+        tracks are padded into a batch, vmapped, and reduced with an
+        XLA psum over ICI (parallel/dist.py) — there is no reference
+        counterpart (the reference is single-threaded,
+        nllk_sde.hpp:77-84)."""
         from smoothsde_tpu.infer.objective import build_objective
 
         init = {
@@ -364,6 +372,8 @@ class SDE:
             init=init,
             map_fix=map,
             kalman_impl=kalman_impl,
+            mesh=mesh,
+            mesh_axis=mesh_axis,
         )
         return self._bundle
 
@@ -381,14 +391,18 @@ class SDE:
         )
         return float(b.joint_nllk(full))
 
-    def fit(self, silent: bool = True, map=None, **kwargs):
-        """Fit by marginal maximum likelihood (R/sde.R:683-720)."""
+    def fit(self, silent: bool = True, map=None, mesh=None, **kwargs):
+        """Fit by marginal maximum likelihood (R/sde.R:683-720).
+
+        `mesh`: optional jax.sharding.Mesh — fit with the likelihood
+        track-sharded across devices (see `setup`)."""
         from smoothsde_tpu.infer.fit import fit_model
 
         if not silent:
             self.message()
-        if self._bundle is None:
-            self.setup(map=map)
+        if self._bundle is None or mesh is not None:
+            self.setup(map=map, mesh=mesh,
+                       kalman_impl=self._kalman_impl)
         res = fit_model(self._bundle, verbose=not silent, **kwargs)
         self._fit_result = res
 

@@ -67,6 +67,8 @@ def build_objective(
     init: Optional[Dict[str, np.ndarray]] = None,
     map_fix: Optional[Dict[str, np.ndarray]] = None,
     kalman_impl: str = "auto",
+    mesh=None,
+    mesh_axis: str = "tracks",
 ) -> ObjectiveBundle:
     other_data = dict(other_data or {})
     fixpar = list(fixpar or [])
@@ -345,6 +347,19 @@ def build_objective(
             from smoothsde_tpu.ops.kalman import kalman_loglik_sequential
 
             return kalman_loglik_sequential(_steps(full), with_states=True)[1]
+
+    # ---- distributed (track-sharded) likelihood override ----
+    if mesh is not None:
+        from smoothsde_tpu.parallel.dist import build_sharded_loglik
+
+        sharded = build_sharded_loglik(
+            spec, obs, times, ids, mesh=mesh, axis=mesh_axis,
+            other_data=other_data, kalman_impl=kalman_impl,
+            H_array=H_array, P0=P0,
+        )
+
+        def loglik(full):  # noqa: F811 — replaces the single-device path
+            return sharded(full, par_matrix(full))
 
     # ---- penalty ----
     penalty = make_penalty(

@@ -1,0 +1,209 @@
+"""Track-sharded (data-parallel) likelihood over a device mesh, wired
+into the objective layer so `SDE.fit(mesh=...)` runs distributed.
+
+The reference evaluates one flat sequential loop that skips cross-ID
+transitions (nllk_sde.hpp:79, nllk_ctcrw.hpp:196-200); tracks are
+statistically independent, so the likelihood is a sum of per-track
+terms. Here the flat dataset is packed into a padded
+(n_tracks, track_len) batch whose leading axis is sharded over a
+`jax.sharding.Mesh`; the per-track likelihood (closed-form density sum
+or Kalman filter) is vmapped over the batch, and the final scalar
+reduction becomes an XLA psum over ICI under GSPMD (SURVEY.md §2,
+"Parallelism" item 1).
+
+Design matrices stay replicated: the (n, n_par) linear-predictor matrix
+is computed once per step on every device, then gathered into the
+sharded (K, L, n_par) batch layout by a sharded row-index array — the
+gather output follows the index sharding, so all per-track work and its
+gradient are fully partitioned.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+class PackedLayout(NamedTuple):
+    """Host-side description of the padded track batch."""
+
+    row_idx: np.ndarray  # (K_pad, L) flat-row index per slot (clamped)
+    valid_row: np.ndarray  # (K_pad, L) slot holds a real observation
+    times_p: np.ndarray  # (K_pad, L) strictly increasing per track
+    n_tracks: int  # real tracks (before device padding)
+    lengths: np.ndarray  # (K_pad,) real rows per track (0 for dummies)
+
+
+def pack_layout(
+    times: np.ndarray,
+    ids: np.ndarray,
+    n_devices: int,
+    pad_multiple: int = 8,
+) -> PackedLayout:
+    """Compute the padded (K_pad, L) batch layout for a flat dataset.
+
+    - tracks are maximal runs of equal `ids` (reference track semantics,
+      nllk_sde.hpp:79);
+    - L is the longest track rounded up to `pad_multiple`; padding slots
+      clamp to the track's last row and extend time by +1 per slot so
+      dt stays positive;
+    - K is rounded up to a multiple of `n_devices` with dummy tracks
+      (valid_row all False) that contribute exactly zero likelihood.
+    """
+    times = np.asarray(times, float)
+    ids = np.asarray(ids)
+    n = len(ids)
+    starts = np.concatenate(
+        [[0], np.where(ids[1:] != ids[:-1])[0] + 1, [n]]
+    )
+    K = len(starts) - 1
+    lens = np.diff(starts)
+    L = int(-(-int(lens.max()) // pad_multiple) * pad_multiple)
+    K_pad = int(-(-K // n_devices) * n_devices)
+
+    row_idx = np.zeros((K_pad, L), np.int32)
+    valid = np.zeros((K_pad, L), bool)
+    t_p = np.tile(np.arange(L, dtype=float), (K_pad, 1))
+    lengths = np.zeros(K_pad, np.int64)
+    for k in range(K):
+        s, e = starts[k], starts[k + 1]
+        m = e - s
+        row_idx[k, :m] = np.arange(s, e)
+        row_idx[k, m:] = e - 1
+        valid[k, :m] = True
+        t_p[k, :m] = times[s:e]
+        t_p[k, m:] = times[e - 1] + 1.0 + np.arange(L - m)
+        lengths[k] = m
+    return PackedLayout(row_idx, valid, t_p, K, lengths)
+
+
+def build_sharded_loglik(
+    spec,
+    obs: np.ndarray,
+    times: np.ndarray,
+    ids: np.ndarray,
+    mesh: Mesh,
+    axis: str = "tracks",
+    other_data: Optional[dict] = None,
+    kalman_impl: str = "auto",
+    H_array=None,
+    P0=None,
+):
+    """Build `loglik(full, par_full) -> scalar` with tracks sharded over
+    `mesh`'s `axis`. `par_full` is the replicated (n, n_par)
+    linear-predictor matrix from the objective layer.
+    """
+    other_data = dict(other_data or {})
+    n_dev = int(mesh.shape[axis])
+    layout = pack_layout(times, ids, n_dev)
+    K_pad, L = layout.row_idx.shape
+
+    obs = np.asarray(obs, float)
+    obs_p = obs[layout.row_idx]
+    obs_p[~layout.valid_row] = np.nan  # padding = missing observation
+
+    shard = NamedSharding(mesh, P(axis))
+    row_idx = jax.device_put(jnp.asarray(layout.row_idx), shard)
+    obs_p = jax.device_put(jnp.asarray(obs_p), shard)
+    times_p = jax.device_put(jnp.asarray(layout.times_p), shard)
+    zero_ids = jax.device_put(jnp.zeros((K_pad, L), jnp.int32), shard)
+
+    if kalman_impl == "auto":
+        # Per-track sequential scan: solid vjp on every backend (see
+        # ops/kalman.default_filter_impl on the XLA:CPU associative-scan
+        # issue); tracks supply the parallelism here.
+        kalman_impl = (
+            "parallel" if jax.default_backend() == "tpu" else "sequential"
+        )
+
+    if spec.kind == "closed_form":
+        from smoothsde_tpu.ops.densities import closed_form_loglik
+
+        other = (
+            {"df": float(other_data["df"])} if spec.type == "BM_t" else None
+        )
+
+        def loglik(full, par_full):
+            par_p = par_full[row_idx]
+
+            def track(o, t, zid, p):
+                return closed_form_loglik(spec.type, o, t, zid, p, other)
+
+            vals = jax.vmap(track)(obs_p, times_p, zero_ids, par_p)
+            return jnp.sum(vals)
+
+        return loglik
+
+    # ---- state-space models ----
+    from smoothsde_tpu.models.ssm import SSM_STEP_BUILDERS
+    from smoothsde_tpu.ops.kalman import kalman_loglik
+
+    builder = SSM_STEP_BUILDERS[spec.type]
+    P0_j = None if P0 is None else jnp.asarray(np.asarray(P0, float))
+
+    H_p = None
+    if H_array is not None:
+        H_np = np.asarray(H_array, float)
+        if H_np.ndim == 3 and H_np.shape[0] != len(ids) and H_np.shape[-1] == len(ids):
+            H_np = np.moveaxis(H_np, -1, 0)
+        H_p = jax.device_put(jnp.asarray(H_np[layout.row_idx]), shard)
+
+    if spec.type == "ESEAL_SSM":
+        h_p = jax.device_put(
+            jnp.asarray(np.asarray(other_data["h"], float)[layout.row_idx]),
+            shard,
+        )
+        R_p = jax.device_put(
+            jnp.asarray(np.asarray(other_data["R"], float)[layout.row_idx]),
+            shard,
+        )
+        dep_p = jax.device_put(
+            jnp.asarray(
+                np.asarray(other_data["dep_fat"], float)[layout.row_idx]
+            ),
+            shard,
+        )
+
+        def loglik(full, par_full):
+            par_p = par_full[row_idx]
+
+            def track(o, t, zid, p, h_k, R_k, dep_k):
+                steps = builder(
+                    p, o, t, zid,
+                    full["log_tau"][0], full["a1"][0], full["log_a2"][0],
+                    h_k, R_k, dep_k, P0=P0_j,
+                )
+                return kalman_loglik(steps, impl=kalman_impl)
+
+            vals = jax.vmap(track)(
+                obs_p, times_p, zero_ids, par_p, h_p, R_p, dep_p
+            )
+            return jnp.sum(vals)
+
+        return loglik
+
+    def loglik(full, par_full):
+        par_p = par_full[row_idx]
+        sobs = jnp.exp(full["log_sigma_obs"][0])
+
+        if H_p is None:
+            def track(o, t, zid, p):
+                steps = builder(p, o, t, zid, sigma_obs=sobs, P0=P0_j)
+                return kalman_loglik(steps, impl=kalman_impl)
+
+            vals = jax.vmap(track)(obs_p, times_p, zero_ids, par_p)
+        else:
+            def track(o, t, zid, p, Hk):
+                steps = builder(
+                    p, o, t, zid, sigma_obs=sobs, H_array=Hk, P0=P0_j
+                )
+                return kalman_loglik(steps, impl=kalman_impl)
+
+            vals = jax.vmap(track)(obs_p, times_p, zero_ids, par_p, H_p)
+        return jnp.sum(vals)
+
+    return loglik
