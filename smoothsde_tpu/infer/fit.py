@@ -60,7 +60,10 @@ def fit_model(
     from smoothsde_tpu.utils.profiling import StageTimer, xla_trace
 
     packer = bundle.packer
-    marginal = make_laplace(bundle.joint_nllk, packer)
+    marginal = make_laplace(
+        bundle.joint_nllk, packer,
+        joint_nllk_ad=getattr(bundle, "joint_nllk_ad", None),
+    )
     val_grad = jax.jit(jax.value_and_grad(marginal, has_aux=True))
 
     x0 = packer.outer_init()
@@ -98,6 +101,17 @@ def fit_model(
             return np.zeros_like(g)
         return np.where(np.isfinite(g), g, 0.0)
 
+    # scipy BFGS reports "precision loss" when the line search stalls at
+    # the optimum; treat a small gradient as converged regardless
+    # (optim's BFGS would report 0 here). The tolerance scales with the
+    # objective magnitude and dtype: f32 TPU gradients carry relative
+    # noise ~1e-4 of |nllk|.
+    f32 = jnp.zeros(()).dtype == jnp.float32
+    eps = 1e-3 if f32 else 1e-6
+
+    def _gtol(v):
+        return max(1e-3, eps * (1.0 + abs(v)))
+
     t0 = time.time()
     total_nfev = total_njev = 0
     x_cur = x0
@@ -106,20 +120,33 @@ def fit_model(
         # approximation, which recovers from stalled line searches far
         # from the optimum (optim's BFGS in the reference is similarly
         # restarted by users in practice).
+        # Stop BFGS at the achievable f32 gradient accuracy instead of
+        # letting the line search thrash to "precision loss": scipy's
+        # default gtol (1e-5, inf-norm) is unreachable when gradient
+        # roundoff scales with |nllk|.
         for attempt in range(4):
+            options = {"maxiter": maxiter, "disp": verbose}
+            if method == "BFGS":
+                # rescaled per attempt: the objective magnitude at the
+                # current iterate sets the achievable accuracy
+                options["gtol"] = _gtol(safe_fun(x_cur))
             res = optimize.minimize(
                 fun=safe_fun,
                 x0=x_cur,
                 jac=safe_jac,
                 method=method,
-                options={"maxiter": maxiter, "disp": verbose},
+                options=options,
             )
             total_nfev += int(res.nfev)
             total_njev += int(getattr(res, "njev", 0))
             v_new, g_new, _ = eval_at(np.asarray(res.x, float))
             improved = v_new < safe_fun(x_cur) - 1e-10
             x_cur = np.asarray(res.x, float)
-            if res.success or np.max(np.abs(g_new)) < 1e-3 or not improved:
+            if (
+                res.success
+                or np.max(np.abs(g_new)) < _gtol(v_new)
+                or not improved
+            ):
                 break
     systime = time.time() - t0
 
@@ -128,15 +155,8 @@ def fit_model(
     res.nfev = total_nfev
     res.njev = total_njev
 
-    # scipy BFGS reports "precision loss" when the line search stalls at
-    # the optimum; treat a small gradient as converged regardless
-    # (optim's BFGS would report 0 here). The tolerance scales with the
-    # objective magnitude and dtype: f32 TPU gradients carry relative
-    # noise ~1e-4 of |nllk|.
-    eps = 1e-3 if np.asarray(g_hat).dtype == np.float32 else 1e-6
-    gtol = max(1e-3, eps * (1.0 + abs(v_hat)))
     converged = np.isfinite(v_hat) and (
-        bool(res.success) or np.max(np.abs(g_hat)) < gtol
+        bool(res.success) or np.max(np.abs(g_hat)) < _gtol(v_hat)
     )
 
     out = FitResult(
@@ -155,19 +175,24 @@ def fit_model(
         return out
 
     # ---- outer Hessian: central differences of the exact gradient ----
+    # (TMB/optimHess strategy; exact second-order AD is unavailable
+    # through the custom_vjp inner solver.) Reuses the already-compiled
+    # val_grad — a separate grad-only jit would recompile the whole
+    # marginal graph.
     n_out = len(x_hat)
     H = np.zeros((n_out, n_out))
-    grad_only = jax.jit(
-        lambda x, b0: jax.grad(lambda xx, bb: marginal(xx, bb)[0])(x, b0)
-    )
+    b_hat_j = jnp.asarray(b_hat)
+
+    def _grad_at(x):
+        (_, _), g = val_grad(jnp.asarray(x), b_hat_j)
+        return np.asarray(g)
+
     with timer.stage("outer_hessian_fd"):
         for i in range(n_out):
             h = fd_step * max(1.0, abs(x_hat[i]))
             xp = x_hat.copy(); xp[i] += h
             xm = x_hat.copy(); xm[i] -= h
-            gp = np.asarray(grad_only(jnp.asarray(xp), jnp.asarray(b_hat)))
-            gm = np.asarray(grad_only(jnp.asarray(xm), jnp.asarray(b_hat)))
-            H[i] = (gp - gm) / (2 * h)
+            H[i] = (_grad_at(xp) - _grad_at(xm)) / (2 * h)
     H_marg = 0.5 * (H + H.T)
     out.H_marg = H_marg
     from smoothsde_tpu.utils.misc import prec_to_cov
@@ -179,11 +204,28 @@ def fit_model(
     if n_in > 0:
         def joint_vec(z):
             full = packer.unpack(z[:n_out], z[n_out:])
-            return bundle.joint_nllk(full)
+            # jax.hessian needs the forward-mode-capable objective.
+            return bundle.joint_nllk_ad(full)
 
         z_hat = jnp.concatenate([jnp.asarray(x_hat), jnp.asarray(b_hat)])
         with timer.stage("joint_precision"):
-            J = np.asarray(jax.hessian(joint_vec)(z_hat))
+            # One-shot diagnostic: compile and run it on the host CPU
+            # backend — compiling a fresh second-order graph through a
+            # remote-TPU dispatch path costs minutes for a computation
+            # that takes milliseconds.
+            try:
+                cpu = jax.devices("cpu")[0]
+            except RuntimeError:
+                cpu = None
+            if cpu is not None:
+                with jax.default_device(cpu):
+                    J = np.asarray(
+                        jax.jit(jax.hessian(joint_vec))(
+                            jax.device_put(z_hat, cpu)
+                        )
+                    )
+            else:
+                J = np.asarray(jax.hessian(joint_vec)(z_hat))
         J_tb = J[:n_out, n_out:]
         J_bb = J[n_out:, n_out:]
         top_left = H_marg + J_tb @ np.linalg.solve(J_bb, J_tb.T)

@@ -19,7 +19,7 @@ produces.
 from __future__ import annotations
 
 import functools
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,11 +37,26 @@ class LaplaceConfig(NamedTuple):
 _ALPHAS = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01, 0.0)
 
 
-def make_laplace(joint_nllk: Callable, packer, config: LaplaceConfig = LaplaceConfig()):
+def make_laplace(
+    joint_nllk: Callable,
+    packer,
+    config: LaplaceConfig = LaplaceConfig(),
+    joint_nllk_ad: Optional[Callable] = None,
+):
     """Build (marginal_nllk, bhat_solver) for a packed objective.
 
     marginal_nllk(outer, b0) -> (value, bhat): differentiable in outer;
     b0 is a warm start (treated as constant under differentiation).
+
+    `joint_nllk_ad`, when given, is a mathematically identical objective
+    built from plain jax ops; every second-order quantity (the inner
+    Newton Hessian, the log-det curvature term and its gradient, the
+    implicit-diff cross derivatives) is routed through it, while the
+    marginal *value* term uses `joint_nllk`. This lets the primary
+    objective carry a reverse-only custom_vjp (fused Pallas filter +
+    Fisher-identity smoother gradient) and still serve random-effects
+    (Laplace) fits — the TMB random="coeff_re" equivalent
+    (R/sde.R:656-658) at full TPU speed.
     """
     n_inner = packer.n_inner
     if n_inner == 0:
@@ -53,31 +68,62 @@ def make_laplace(joint_nllk: Callable, packer, config: LaplaceConfig = LaplaceCo
     def f(outer, b):
         return joint_nllk(packer.unpack(outer, b))
 
-    grad_b = jax.grad(f, argnums=1)
+    if joint_nllk_ad is None or joint_nllk_ad is joint_nllk:
+        f_ad = f
+    else:
+        def f_ad(outer, b):
+            return joint_nllk_ad(packer.unpack(outer, b))
+
+    grad_b = jax.grad(f_ad, argnums=1)
     hess_b = jax.jacfwd(grad_b, argnums=1)
     eye = jnp.eye(n_inner)
     alphas = jnp.asarray(_ALPHAS)
 
     def newton(outer, b0):
-        # f32 cannot reach the f64 default tolerance; scale with dtype.
-        tol = config.tol if jnp.result_type(b0) == jnp.float64 else 1e-4
+        f64 = jnp.result_type(b0) == jnp.float64
+        # Absolute gradient tolerance, plus a scale-aware Newton
+        # decrement criterion: g' H^-1 g has the units of the objective,
+        # so comparing it against eps * (1 + |f|) stops as soon as the
+        # achievable accuracy for the dtype is reached — in f32 a fixed
+        # small gradient tolerance is often unreachable (gradient
+        # roundoff grows with |f|) and the loop would always burn
+        # max_iter iterations.
+        tol = config.tol if f64 else 1e-4
+        eps_dec = 1e-12 if f64 else 1e-6
+        f0 = f_ad(outer, b0)
+        dec_tol = eps_dec * (1.0 + jnp.abs(f0))
 
         def cond(state):
-            b, g, i = state
-            return (i < config.max_iter) & (jnp.max(jnp.abs(g)) > tol)
+            b, g, i, f_cur, progress = state
+            return (
+                (i < config.max_iter)
+                & (jnp.max(jnp.abs(g)) > tol)
+                & (progress > dec_tol)
+            )
 
         def body(state):
-            b, g, i = state
+            b, g, i, f_cur, _ = state
             H = hess_b(outer, b)
             scale = jnp.mean(jnp.abs(jnp.diagonal(H))) + 1.0
             delta = jnp.linalg.solve(H + config.ridge * scale * eye, g)
             cand = b[None, :] - alphas[:, None] * delta[None, :]
-            fs = jax.vmap(lambda bb: f(outer, bb))(cand)
+            # f_ad here: the candidate sweep is vmapped, and the plain
+            # jax path is always batchable (the fused-Pallas primary
+            # need not be).
+            fs = jax.vmap(lambda bb: f_ad(outer, bb))(cand)
             fs = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
-            b_new = cand[jnp.argmin(fs)]
-            return (b_new, grad_b(outer, b_new), i + 1)
+            k = jnp.argmin(fs)
+            b_new = cand[k]
+            f_new = jnp.minimum(fs[k], f_cur)
+            # Actual decrease achieved this iteration: when the line
+            # search stalls (alpha = 0 wins, f32 noise floor reached),
+            # stop instead of spinning to max_iter.
+            progress = f_cur - f_new
+            return (b_new, grad_b(outer, b_new), i + 1, f_new, progress)
 
-        b, _, _ = jax.lax.while_loop(cond, body, (b0, grad_b(outer, b0), 0))
+        b, _, _, _, _ = jax.lax.while_loop(
+            cond, body, (b0, grad_b(outer, b0), 0, f0, jnp.inf)
+        )
         return b
 
     @jax.custom_vjp

@@ -46,7 +46,16 @@ def _dinvgamma_log(x, shape, scale):
 
 @dataclasses.dataclass
 class ObjectiveBundle:
-    """Everything the fitting layer needs."""
+    """Everything the fitting layer needs.
+
+    `joint_nllk` is the primary (fastest) objective; its gradient may
+    come from a custom_vjp (fused Pallas + Fisher-identity smoother),
+    which supports reverse mode only. `joint_nllk_ad` is mathematically
+    identical but built from plain jax ops end to end, so every AD
+    transform composes (jacfwd Hessians for the Laplace inner Newton,
+    third-order for the log-det gradient, jax.hessian for the joint
+    precision). They coincide when the primary path is already plain AD.
+    """
 
     joint_nllk: Callable  # penalized, fn(full_params_dict) -> scalar
     joint_nllk_unpenalized: Callable  # include_penalty = 0 variant
@@ -54,6 +63,11 @@ class ObjectiveBundle:
     par_matrix: Callable  # fn(full_params_dict) -> (n, n_par) working scale
     filter_states: Optional[Callable]  # SSMs: fn(full) -> (n, s) aest_all
     n_obs: int
+    joint_nllk_ad: Optional[Callable] = None  # forward-mode-capable
+
+    def __post_init__(self):
+        if self.joint_nllk_ad is None:
+            self.joint_nllk_ad = self.joint_nllk
 
 
 def build_objective(
@@ -92,6 +106,7 @@ def build_objective(
     obs_j = jnp.asarray(obs, float)
     times_j = jnp.asarray(times, float)
     ids_j = jnp.asarray(np.asarray(ids))
+    loglik_ad = None  # forward-mode-capable twin, set where it differs
 
     # ---- decay-modulated splines (closed-form models only,
     #      R/sde.R:634-653, nllk_sde.hpp:47-58) ----
@@ -228,7 +243,28 @@ def build_objective(
             h = jnp.asarray(np.asarray(other_data["h"], float))
             R = jnp.asarray(np.asarray(other_data["R"], float))
             dep_fat = jnp.asarray(np.asarray(other_data["dep_fat"], float))
+            # Priors on sigma^2 and tau^2. The reference hard-codes
+            # Schick et al. (2013) inverse-gamma priors
+            # (nllk_e_seal_ssm.hpp:215-216); here they are
+            # user-suppliable (SURVEY §7 "What NOT to carry over"):
+            #   priors="schick2013" (default) — the reference's values,
+            #   priors=None — no priors,
+            #   priors={"sigma2": (shape, scale), "tau2": (shape, scale)}
+            #     — custom inverse-gamma hyperparameters (either key
+            #     may be omitted).
             priors = other_data.get("priors", "schick2013")
+            if priors == "schick2013":
+                priors = {
+                    "sigma2": (10.0 * n, 4.0 * (10.0 * n - 1.0)),
+                    "tau2": (n / 2.0, n / 2.0 - 1.0),
+                }
+            elif priors in (None, "none"):
+                priors = {}
+            elif not isinstance(priors, dict):
+                raise ValueError(
+                    "other_data['priors'] must be 'schick2013', None, or "
+                    "a dict with 'sigma2'/'tau2' (shape, scale) entries"
+                )
 
             def _steps(full):
                 return eseal_ssm_steps(
@@ -240,15 +276,14 @@ def build_objective(
             def loglik(full):
                 pm = par_matrix(full)
                 llk = kalman_loglik(_steps(full), impl=kalman_impl)
-                if priors == "schick2013":
-                    # IG priors on sigma^2 and tau^2
-                    # (nllk_e_seal_ssm.hpp:215-216)
+                if "sigma2" in priors:
+                    shape, scale = priors["sigma2"]
                     sigma0 = jnp.exp(pm[0, 1])
+                    llk = llk + _dinvgamma_log(sigma0**2, shape, scale)
+                if "tau2" in priors:
+                    shape, scale = priors["tau2"]
                     tau = jnp.exp(full["log_tau"][0])
-                    llk = llk + _dinvgamma_log(
-                        sigma0**2, 10.0 * n, 4.0 * (10.0 * n - 1.0)
-                    )
-                    llk = llk + _dinvgamma_log(tau**2, n / 2.0, n / 2.0 - 1.0)
+                    llk = llk + _dinvgamma_log(tau**2, shape, scale)
                 return llk
 
         else:
@@ -287,6 +322,14 @@ def build_objective(
                 )
 
                 def loglik(full):
+                    # Primary path: on TPU the fully fused Pallas
+                    # filter with the Fisher-identity (smoother-based)
+                    # custom_vjp gradient — reverse mode only. The
+                    # Laplace layer routes every forward-mode /
+                    # higher-order derivative through `loglik_ad`
+                    # below, so random-effects fits run on this fast
+                    # path too (round-2 change; previously has_re
+                    # forced plain AD throughout).
                     impl = kalman_impl
                     if impl == "auto":
                         impl = (
@@ -297,31 +340,45 @@ def build_objective(
                     sobs = jnp.exp(full["log_sigma_obs"][0])
                     if impl == "soa":
                         if spec.type == "CTCRW":
-                            # Without random effects there is no inner
-                            # Newton (no forward-mode through the
-                            # likelihood), so the fused Pallas filter +
-                            # Fisher-identity custom_vjp is usable for
-                            # the whole fit. With RE, the Laplace
-                            # Hessian needs jacfwd, which custom_vjp
-                            # does not support -> AD path.
-                            if not has_re:
-                                return ctcrw_loglik_soa(
-                                    par_matrix(full), obs_j, times_j,
-                                    ids_j, sigma_obs=sobs,
-                                    scan="fused", analytic_grad=True,
-                                )
+                            return ctcrw_loglik_soa(
+                                par_matrix(full), obs_j, times_j,
+                                ids_j, sigma_obs=sobs,
+                                scan="fused", analytic_grad=True,
+                            )
+                        from smoothsde_tpu.ops.diag_fused import (
+                            diag_ssm_loglik_fused,
+                        )
+
+                        return diag_ssm_loglik_fused(
+                            spec.type, par_matrix(full), obs_j,
+                            times_j, ids_j, sigma_obs=sobs,
+                        )
+                    if spec.type == "CTCRW":
+                        steps = ctcrw_steps_perdim(
+                            par_matrix(full), obs_j, times_j, ids_j,
+                            sigma_obs=sobs, P0=P0,
+                        )
+                    else:
+                        steps = diag_ssm_steps_perdim(
+                            spec.type, par_matrix(full), obs_j, times_j,
+                            ids_j, sigma_obs=sobs, P0=P0,
+                        )
+                    return kalman_loglik_batched(steps, impl=impl)
+
+                def loglik_ad(full):
+                    # Forward-mode-capable twin: per-dim sequential
+                    # lax.scan (solid vjp/jvp on every backend) for
+                    # moderate n, the plain-AD SoA blocked scan for
+                    # long sequences on TPU.
+                    sobs = jnp.exp(full["log_sigma_obs"][0])
+                    use_soa = (
+                        default_filter_impl() == "parallel" and n >= 65536
+                    )
+                    if use_soa:
+                        if spec.type == "CTCRW":
                             return ctcrw_loglik_soa(
                                 par_matrix(full), obs_j, times_j, ids_j,
                                 sigma_obs=sobs,
-                            )
-                        if not has_re:
-                            from smoothsde_tpu.ops.diag_fused import (
-                                diag_ssm_loglik_fused,
-                            )
-
-                            return diag_ssm_loglik_fused(
-                                spec.type, par_matrix(full), obs_j,
-                                times_j, ids_j, sigma_obs=sobs,
                             )
                         return diag_ssm_loglik_soa(
                             spec.type, par_matrix(full), obs_j, times_j,
@@ -337,7 +394,7 @@ def build_objective(
                             spec.type, par_matrix(full), obs_j, times_j,
                             ids_j, sigma_obs=sobs, P0=P0,
                         )
-                    return kalman_loglik_batched(steps, impl=impl)
+                    return kalman_loglik_batched(steps, impl="sequential")
 
             else:
                 def loglik(full):
@@ -347,6 +404,9 @@ def build_objective(
             from smoothsde_tpu.ops.kalman import kalman_loglik_sequential
 
             return kalman_loglik_sequential(_steps(full), with_states=True)[1]
+
+    if loglik_ad is None:
+        loglik_ad = loglik
 
     # ---- distributed (track-sharded) likelihood override ----
     if mesh is not None:
@@ -361,6 +421,8 @@ def build_objective(
         def loglik(full):  # noqa: F811 — replaces the single-device path
             return sharded(full, par_matrix(full))
 
+        loglik_ad = loglik
+
     # ---- penalty ----
     penalty = make_penalty(
         design.S_blocks, normalize=(spec.kind == "closed_form")
@@ -372,6 +434,12 @@ def build_objective(
             val = val + penalty(full["coeff_re"], full["log_lambda"])
         return val
 
+    def joint_nllk_ad(full):
+        val = -loglik_ad(full)
+        if has_re:
+            val = val + penalty(full["coeff_re"], full["log_lambda"])
+        return val
+
     def joint_nllk_unpenalized(full):
         # include_penalty = 0: the closed-form dispatcher drops the
         # penalty entirely (nllk_sde.hpp:91); the Kalman templates have
@@ -379,8 +447,9 @@ def build_objective(
         # built with the same code path, R/sde.R:663-669) — we mirror
         # the closed-form behavior for all types since the unpenalized
         # joint likelihood is what conditional AIC needs
-        # (R/sde.R:1318-1328).
-        return -loglik(full)
+        # (R/sde.R:1318-1328). Uses the AD-capable path: callers take
+        # jax.hessian of this for the EDF trace (R/sde.R:1363).
+        return -loglik_ad(full)
 
     return ObjectiveBundle(
         joint_nllk=joint_nllk,
@@ -389,4 +458,5 @@ def build_objective(
         par_matrix=par_matrix,
         filter_states=filter_states if spec.kind == "ssm" else None,
         n_obs=n,
+        joint_nllk_ad=joint_nllk_ad,
     )

@@ -24,10 +24,16 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammaln, logsumexp
 
-# Branch thresholds.
-_X_SERIES = 2000.0  # below: series window is accurate for any order
+# Branch thresholds. The series window must cover ~±7 standard
+# deviations of the term distribution at the crossover argument
+# (std ~ sqrt(k*/2), k* ~ x/2 at q << x): at x = 1500, k* ~ 750,
+# std ~ 19, so a 256-term window (±128 = ±6.7 std) leaves a relative
+# tail below 1e-9 — beyond f32 resolution. The Hankel branch at
+# x >= 1500, q < 30 has q^2/(2x) <= 0.3, giving 8-term relative error
+# ~1e-5, also below f32 noise at these magnitudes.
+_X_SERIES = 1500.0  # below: series window is accurate for any order
 _Q_OLVER = 30.0  # above: Olver uniform expansion
-_K_WINDOW = 512  # static number of series terms
+_K_WINDOW = 256  # static number of series terms
 
 
 def _log_bessel_series(x, q):

@@ -125,3 +125,67 @@ class TestEndToEndFit:
         assert res.joint_precision.shape == (3 + n_id, 3 + n_id)
         w = np.linalg.eigvalsh(res.joint_precision)
         assert w.min() > 0
+
+
+class TestHybridLaplace:
+    """The primary objective may carry a reverse-only custom_vjp (fused
+    Pallas + Fisher-identity gradient on TPU); `joint_nllk_ad` routes
+    all forward-mode/second-order work. Emulate that split on CPU with
+    a custom_vjp wrapper that would fail under jacfwd, and require the
+    marginal value and gradient to match the pure-AD Laplace."""
+
+    def test_reverse_only_primary_matches_pure_ad(self):
+        bundle, data, obs, times, ids, n_id, n_per = _bm_re_setup()
+        packer = bundle.packer
+
+        raw = bundle.joint_nllk_ad
+
+        @jax.custom_vjp
+        def reverse_only(outer, b):
+            return raw(packer.unpack(outer, b))
+
+        def fwd(outer, b):
+            out, vjp = jax.vjp(
+                lambda o, bb: raw(packer.unpack(o, bb)), outer, b
+            )
+            return out, vjp
+
+        def bwd(vjp, ct):
+            return vjp(ct)
+
+        reverse_only.defvjp(fwd, bwd)
+
+        def joint_fast(full):
+            # rebuild (outer, b) so the custom_vjp sits on the whole
+            # likelihood, like the fused kernel does
+            outer = full["__outer"]
+            b = full["__inner"]
+            return reverse_only(outer, b)
+
+        # make_laplace unpacks for us; wrap so the fast path sees the
+        # packed vectors directly.
+        class FakePacker:
+            n_inner = packer.n_inner
+
+            @staticmethod
+            def unpack(outer, b=None):
+                if b is None:
+                    b = jnp.zeros((packer.n_inner,))
+                return {"__outer": outer, "__inner": b}
+
+        marg_hybrid = make_laplace(
+            joint_fast, FakePacker,
+            joint_nllk_ad=lambda full: raw(
+                packer.unpack(full["__outer"], full["__inner"])
+            ),
+        )
+        marg_pure = make_laplace(bundle.joint_nllk_ad, packer)
+
+        x = jnp.asarray([0.3, -0.2, 0.1])
+        b0 = jnp.zeros(n_id)
+        (vh, _), gh = jax.value_and_grad(marg_hybrid, has_aux=True)(x, b0)
+        (vp, _), gp = jax.value_and_grad(marg_pure, has_aux=True)(x, b0)
+        assert np.isclose(float(vh), float(vp), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(gh), np.asarray(gp), rtol=1e-5, atol=1e-7
+        )

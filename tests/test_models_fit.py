@@ -167,30 +167,102 @@ class TestSSM:
         assert res.convergence == 0
 
 
+def _eseal_sim(seed=6, n=400, mu_t=0.05, sigma_t=0.12, a1_t=-0.578,
+               a2_t=1.214, tau_t=0.08):
+    """Exact simulation of the ESEAL_SSM generative model
+    (nllk_e_seal_ssm.hpp:11-59): state x = (intercept=1, lipid mass L),
+    L_{i+1} = L_i + mu*dt + sigma*sqrt(dt)*eps,
+    z_i = a1 + (a2/R_i) L_i + (tau/sqrt(h_i)) nu."""
+    rng = np.random.default_rng(seed)
+    dt = 1.0
+    times = np.arange(n) * dt
+    L = np.empty(n)
+    L[0] = 60.0
+    for i in range(1, n):
+        L[i] = L[i - 1] + mu_t * dt + sigma_t * np.sqrt(dt) * rng.normal()
+    # Scales chosen so the latent process is visible against the
+    # measurement noise: obs loading a2/R ~ 0.12, per-step process sd
+    # in observation units ~ 0.014 vs measurement sd tau/sqrt(h) = 0.008.
+    R = np.full(n, 10.0)
+    h = np.full(n, 100.0)
+    z = a1_t + a2_t * L / R + rng.normal(size=n) * tau_t / np.sqrt(h)
+    data = {"ID": np.zeros(n, int), "time": times, "z": z}
+    other = {"h": h, "R": R, "dep_fat": np.full(n, L[0])}
+    return data, other
+
+
 class TestESEAL:
-    def test_fit_runs(self):
-        rng = np.random.default_rng(6)
-        n = 300
-        dt = 1.0
-        times = np.arange(n) * dt
-        mu_t, sigma_t = 0.02, 0.1
-        a1_t, a2_t, tau_t = -0.578, 1.214, 0.08
-        L = 60.0 + np.cumsum(mu_t * dt * 60.0 + rng.normal(size=n) * sigma_t)
-        R = np.full(n, 250.0)
-        h = np.full(n, 10.0)
-        z = a1_t + a2_t * L / R + rng.normal(size=n) * tau_t / np.sqrt(h)
-        data = {
-            "ID": np.zeros(n, int), "time": times, "z": z,
-        }
-        sde = SDE(
-            data=data, type="ESEAL_SSM", response="z",
-            other_data={
-                "h": h, "R": R, "dep_fat": np.full(n, L[0]),
-            },
+    def test_recovery(self):
+        """Simulation-recovery for the free parameters (mu, sigma, tau):
+        the observation-equation parameters (a1, a2) are weakly
+        identified from one track, so they are pinned to truth via map,
+        mirroring common usage of the reference model."""
+        data, other = _eseal_sim()
+        mu_t, sigma_t, tau_t = 0.05, 0.12, 0.08
+        # priors=None: the reference's Schick et al. priors carry a
+        # pseudo-count of 10n and pin sigma^2 near 4 regardless of the
+        # data — pure ML is the recovery oracle here.
+        sde = SDE(data=data, type="ESEAL_SSM", response="z",
+                  other_data={**other, "priors": None}, par0=[0.0, 0.3])
+        res = sde.fit(map={"a1": [True], "log_a2": [True]},
+                      compute_sdreport=False)
+        assert res.convergence == 0
+        est = dict(zip(res.par_names, np.asarray(res.par)))
+        pm = sde.par(t=0)[0]
+        mu_hat, sigma_hat = pm[0], pm[1]
+        tau_hat = float(np.exp(est["log_tau"]))
+        assert abs(mu_hat - mu_t) < 0.03, mu_hat
+        assert abs(sigma_hat - sigma_t) < 0.06, sigma_hat
+        assert abs(tau_hat - tau_t) < 0.04, tau_hat
+
+    def test_ig_prior_matches_closed_form(self):
+        """The prior contribution equals the inverse-gamma log-pdfs of
+        nllk_e_seal_ssm.hpp:68-78, 215-216 (scipy oracle)."""
+        from scipy import stats
+
+        data, other = _eseal_sim(n=120)
+        n = 120
+        sde_p = SDE(data=data, type="ESEAL_SSM", response="z",
+                    other_data=dict(other), par0=[0.0, 0.3])
+        sde_n = SDE(data=data, type="ESEAL_SSM", response="z",
+                    other_data={**other, "priors": None}, par0=[0.0, 0.3])
+        b_p, b_n = sde_p.setup(), sde_n.setup()
+        pk = b_p.packer
+        full = pk.unpack(pk.outer_init(), pk.inner_init())
+        v_with = float(b_p.joint_nllk(full))
+        v_without = float(b_n.joint_nllk(full))
+
+        sigma0 = 0.3  # par0 is response-scale; sigma intercept = log 0.3
+        tau = float(np.exp(full["log_tau"][0]))
+        lp = stats.invgamma.logpdf(
+            sigma0**2, 10.0 * n, scale=4.0 * (10.0 * n - 1.0)
+        ) + stats.invgamma.logpdf(tau**2, n / 2.0, scale=n / 2.0 - 1.0)
+        # nllk difference = -(prior log-density)
+        assert np.isclose(v_with - v_without, -lp, rtol=1e-5), (
+            v_with - v_without, -lp,
         )
-        res = sde.fit()
-        assert np.isfinite(res.value)
-        assert "log_tau" in res.par_names and "a1" in res.par_names
+
+    def test_user_priors(self):
+        from scipy import stats
+
+        data, other = _eseal_sim(n=120)
+        custom = {"sigma2": (3.0, 0.5)}
+        sde_c = SDE(data=data, type="ESEAL_SSM", response="z",
+                    other_data={**other, "priors": custom}, par0=[0.0, 0.3])
+        sde_n = SDE(data=data, type="ESEAL_SSM", response="z",
+                    other_data={**other, "priors": None}, par0=[0.0, 0.3])
+        b_c, b_n = sde_c.setup(), sde_n.setup()
+        pk = b_c.packer
+        full = pk.unpack(pk.outer_init(), pk.inner_init())
+        diff = float(b_c.joint_nllk(full)) - float(b_n.joint_nllk(full))
+        lp = stats.invgamma.logpdf(0.3**2, 3.0, scale=0.5)
+        assert np.isclose(diff, -lp, rtol=1e-5)
+
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            SDE(data=data, type="ESEAL_SSM", response="z",
+                other_data={**other, "priors": "bogus"},
+                par0=[0.0, 0.3]).setup()
 
 
 class TestDecaySplines:

@@ -131,13 +131,8 @@ def main():
 
     cfg = int(sys.argv[1])
     sde, truth = {1: config1, 2: config2, 3: config3, 4: config4}[cfg]()
-    if cfg == 4:
-        # RE models need forward-mode Hessians in the inner Newton;
-        # jacfwd through the parallel scan compiles too slowly through
-        # the tunnel — the sequential scan is the right engine here.
-        sde.setup(kalman_impl="sequential")
     t0 = time.time()
-    res = sde.fit(compute_sdreport=(cfg != 4))
+    res = sde.fit()
     wall = time.time() - t0
     steady = res.timings["marginal_nllk_grad"]["steady_s"]
     first = res.timings["marginal_nllk_grad"]["first_s"]
