@@ -158,6 +158,21 @@ def fit_model(
     converged = np.isfinite(v_hat) and (
         bool(res.success) or np.max(np.abs(g_hat)) < _gtol(v_hat)
     )
+    if not converged and np.isfinite(v_hat):
+        # The f32 gradient noise floor grows with the number of summed
+        # likelihood terms (roundoff ~ eps * sum_i |term_i|), which
+        # |nllk| does not measure when terms cancel — at 1M steps the
+        # reported gradient can be hundreds of units of pure noise at
+        # the true optimum. Decide empirically: measure the directional
+        # derivative along the reported gradient with a central
+        # difference of the value. A real slope reproduces |g|; noise
+        # does not.
+        gnorm = float(np.linalg.norm(g_hat))
+        if gnorm > 0:
+            u = np.asarray(g_hat) / gnorm
+            h = 1e-2
+            d = (safe_fun(x_hat + h * u) - safe_fun(x_hat - h * u)) / (2 * h)
+            converged = bool(abs(d) < 0.3 * gnorm)
 
     out = FitResult(
         par=x_hat,

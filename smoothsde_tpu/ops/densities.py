@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from smoothsde_tpu.ops.besseli import log_besselI
+from smoothsde_tpu.ops.besseli import log_besselI, log_besselI_scaled
 
 _LOG_2PI = 1.8378770664093453
 
@@ -99,12 +99,20 @@ def cir_logdens(Z1, Z0, dt, par, other_data=None):
     q = 2.0 * beta * mu / (sigma * sigma) - 1.0
     u = c * Z0 * ebd
     v = c * Z1
+    # Scaled-Bessel form: with x = 2 sqrt(u v),
+    #   -u - v + log I_q(x) = -(sqrt(u)-sqrt(v))^2 + log(I_q(x) e^{-x}),
+    # and (sqrt(u)-sqrt(v))^2 = ((u-v)/(sqrt(u)+sqrt(v)))^2 with
+    # u - v = c (Z0 e^{-beta dt} - Z1) — no x-scale intermediates, so
+    # per-step f32 error stays ~1e-6 instead of ~x*eps (a systematic
+    # ~1e-4/step bias that summed to O(100) nllk units at 1M steps).
+    su = jnp.sqrt(u)
+    sv = jnp.sqrt(v)
+    d = c * (Z0 * ebd - Z1) / (su + sv)
     return (
         jnp.log(c)
-        - u
-        - v
+        - d * d
         + q / 2.0 * (jnp.log(v) - jnp.log(u))
-        + log_besselI(2.0 * jnp.sqrt(u * v), q)
+        + log_besselI_scaled(2.0 * su * sv, q)
     )
 
 

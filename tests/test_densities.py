@@ -44,6 +44,61 @@ class TestLogBesselI:
         assert np.isneginf(float(log_besselI(0.0, 1.0)))
         assert float(log_besselI(0.0, 0.0)) == 0.0
 
+    def test_scaled_against_scipy_ive(self):
+        """log_besselI_scaled == log ive directly (no e^x blowup),
+        across all three branches."""
+        from smoothsde_tpu.ops.besseli import log_besselI_scaled
+
+        qs = np.array([-0.9, 0.0, 2.0, 7.9, 8.1, 11.8, 40.0, 300.0])
+        xs = np.array([1e-2, 1.0, 50.0, 99.0, 101.0, 296.0, 2e3, 1e5])
+        Q, X = np.meshgrid(qs, xs)
+        expected = np.log(special.ive(Q, X))
+        got = np.asarray(log_besselI_scaled(X, Q))
+        ok = np.isfinite(expected)
+        np.testing.assert_allclose(got[ok], expected[ok], rtol=1e-6,
+                                   atol=3e-7)
+
+    def test_cir_f32_per_term_precision(self):
+        """The scaled-Bessel CIR form keeps per-term f32 absolute error
+        ~1e-6 in the large-argument regime (x ~ 300) where the naive
+        -u-v+log I formulation loses ~1e-4/term — a systematic bias
+        that summed to O(100) nllk units at 1M steps."""
+        rng = np.random.default_rng(6)
+        n = 20000
+        dt = 0.1
+        mu_t, beta_t, sigma_t = 2.0, 0.8, 0.5
+        c = 2 * beta_t / (sigma_t**2 * (1 - np.exp(-beta_t * dt)))
+        df = 4 * beta_t * mu_t / sigma_t**2
+        ebd = np.exp(-beta_t * dt)
+        z = np.empty(n)
+        z[0] = mu_t
+        for i in range(1, n):
+            z[i] = rng.noncentral_chisquare(df, 2 * c * z[i - 1] * ebd) / (
+                2 * c
+            )
+        Z0, Z1 = z[:-1, None], z[1:, None]
+        dts = np.full(n - 1, dt)
+        par = np.tile(
+            [np.log(mu_t), np.log(beta_t), np.log(sigma_t)], (n - 1, 1)
+        )
+        t64 = np.asarray(
+            cir_logdens(
+                jnp.asarray(Z1, jnp.float64), jnp.asarray(Z0, jnp.float64),
+                jnp.asarray(dts, jnp.float64), jnp.asarray(par, jnp.float64),
+                None,
+            )
+        )
+        t32 = np.asarray(
+            cir_logdens(
+                jnp.asarray(Z1, jnp.float32), jnp.asarray(Z0, jnp.float32),
+                jnp.asarray(dts, jnp.float32), jnp.asarray(par, jnp.float32),
+                None,
+            )
+        ).astype(np.float64)
+        err = t32[:, 0] - t64[:, 0]
+        assert abs(err.mean()) < 2e-6, err.mean()
+        assert err.std() < 1e-5, err.std()
+
 
 class TestTransitionDensities:
     def test_bm_vs_scipy(self):

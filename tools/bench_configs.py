@@ -126,18 +126,84 @@ def config4():
     return sde, {"tau_pop": 3.0}
 
 
+def config5_ctcrw(n=1_000_000):
+    """1M-step high-frequency 2-D CTCRW track, single chip (fused
+    Pallas associative Kalman; BASELINE config 5 part 1).
+
+    Exact simulation, vectorized: the velocity is AR(1)
+    (scipy.signal.lfilter), the position a cumulative sum of exact
+    per-step increments with the correct joint (V, Z) noise."""
+    from scipy.signal import lfilter
+
+    from smoothsde_tpu import SDE
+    from smoothsde_tpu.utils.misc import ctcrw_cov
+
+    rng = np.random.default_rng(5)
+    dt = 0.1
+    tau_t, nu_t, sobs = 3.0, 1.0, 0.1
+    beta = 1 / tau_t
+    sigma = 2 * nu_t / np.sqrt(np.pi * tau_t)
+    e = np.exp(-beta * dt)
+    V = ctcrw_cov(beta, sigma, dt)  # 2x2 per-step joint (V, Z) noise
+    Lc = np.linalg.cholesky(V)
+    obs = np.empty((n, 2))
+    for d in range(2):
+        eps = rng.normal(size=(n - 1, 2)) @ Lc.T
+        v = lfilter([1.0], [1.0, -e], eps[:, 0])  # v_i = e v_{i-1} + eps_v
+        v_prev = np.concatenate([[0.0], v[:-1]])
+        dz = v_prev / beta * (1 - e) + eps[:, 1]
+        z = np.concatenate([[0.0], np.cumsum(dz)])
+        obs[:, d] = z + rng.normal(size=n) * sobs
+    data = {
+        "ID": np.zeros(n, np.int32),
+        "time": np.arange(n) * dt,
+        "y1": obs[:, 0],
+        "y2": obs[:, 1],
+    }
+    sde = SDE(data=data, type="CTCRW", response=["y1", "y2"],
+              par0=[0.0, 0.0, 2.0, 0.8])
+    return sde, {"tau": 3.0, "nu": 1.0}
+
+
+def config5_cir(n=1_000_000):
+    """1M-step CIR variance SDE, single chip (vectorized noncentral-chi^2
+    transition densities via the stable log-Bessel-I; BASELINE config 5
+    part 2)."""
+    from smoothsde_tpu import SDE
+
+    rng = np.random.default_rng(6)
+    dt = 0.1
+    mu_t, beta_t, sigma_t = 2.0, 0.8, 0.5
+    c = 2 * beta_t / (sigma_t**2 * (1 - np.exp(-beta_t * dt)))
+    df = 4 * beta_t * mu_t / sigma_t**2
+    ebd = np.exp(-beta_t * dt)
+    z = np.empty(n)
+    z[0] = mu_t
+    draws = rng.noncentral_chisquare  # exact transition (tr_dens.hpp:53-67)
+    for i in range(1, n):
+        z[i] = draws(df, 2 * c * z[i - 1] * ebd) / (2 * c)
+    data = {"ID": np.zeros(n, np.int32), "time": np.arange(n) * dt, "z": z}
+    sde = SDE(data=data, type="CIR", response="z",
+              par0=[1.5, 1.0, 0.7])
+    return sde, {"mu": 2.0, "beta": 0.8, "sigma": 0.5}
+
+
 def main():
     import jax
 
-    cfg = int(sys.argv[1])
-    sde, truth = {1: config1, 2: config2, 3: config3, 4: config4}[cfg]()
+    cfg = sys.argv[1]
+    builders = {
+        "1": config1, "2": config2, "3": config3, "4": config4,
+        "5a": config5_ctcrw, "5b": config5_cir,
+    }
+    sde, truth = builders[cfg]()
     t0 = time.time()
     res = sde.fit()
     wall = time.time() - t0
     steady = res.timings["marginal_nllk_grad"]["steady_s"]
     first = res.timings["marginal_nllk_grad"]["first_s"]
     out = {
-        "config": cfg,
+        "config": cfg if len(cfg) > 1 else int(cfg),
         "backend": jax.default_backend(),
         "n_obs": sde.n_obs(),
         "converged": res.convergence == 0,
