@@ -26,6 +26,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from smoothsde_tpu.ops.kalman import KalmanSteps
+from smoothsde_tpu.ops.stable import ctcrw_transition_terms, ou_transition_terms
 
 
 def _dt_from_times(times, ids=None):
@@ -53,8 +54,11 @@ def _scatter_track_starts(values_at_starts, reset):
     return jnp.where(reset[:, None], values_at_starts, 0.0)
 
 
-def _common(obs, times, ids):
-    dt = _dt_from_times(jnp.asarray(times), ids)
+def _common(obs, times, ids, dt=None):
+    if dt is None:
+        dt = _dt_from_times(jnp.asarray(times), ids)
+    else:
+        dt = jnp.asarray(dt, jnp.asarray(times).dtype)
     reset = _reset_mask(ids)
     valid = jnp.isfinite(jnp.asarray(obs)[:, 0])
     y = jnp.nan_to_num(jnp.asarray(obs), nan=0.0)
@@ -71,14 +75,14 @@ def _obs_noise(n, n_dim, sigma_obs, H_array, dtype):
 
 
 def bm_ssm_steps(
-    par_mat, obs, times, ids, sigma_obs, H_array=None, P0=None
+    par_mat, obs, times, ids, sigma_obs, H_array=None, P0=None, dt=None
 ) -> KalmanSteps:
     """BM + iid Gaussian measurement error. State = latent position.
 
     T = I, b = mu*dt, Q = sigma^2 dt I (nllk_bm_ssm.hpp:29-36,138-139).
     """
     n, n_dim = obs.shape
-    dt, reset, valid, y = _common(obs, times, ids)
+    dt, reset, valid, y = _common(obs, times, ids, dt=dt)
     dtype = par_mat.dtype
     mu = par_mat[:, :n_dim]
     sigma = jnp.exp(par_mat[:, n_dim])
@@ -99,22 +103,22 @@ def bm_ssm_steps(
 
 
 def ou_ssm_steps(
-    par_mat, obs, times, ids, sigma_obs, H_array=None, P0=None
+    par_mat, obs, times, ids, sigma_obs, H_array=None, P0=None, dt=None
 ) -> KalmanSteps:
     """OU + measurement error. T = e^{-dt/tau} I, b = (1-e^{-dt/tau}) mu,
     Q = kappa (1 - e^{-2 dt/tau}) I (nllk_ou_ssm.hpp:31-69,174-177)."""
     n, n_dim = obs.shape
-    dt, reset, valid, y = _common(obs, times, ids)
+    dt, reset, valid, y = _common(obs, times, ids, dt=dt)
     dtype = par_mat.dtype
     mu = par_mat[:, :n_dim]
     tau = jnp.exp(par_mat[:, n_dim])
     kappa = jnp.exp(par_mat[:, n_dim + 1])
 
-    decay = jnp.exp(-dt / tau)
+    ot = ou_transition_terms(tau, dt)
     eye = jnp.eye(n_dim, dtype=dtype)
-    T = decay[:, None, None] * eye
-    b = (1.0 - decay)[:, None] * mu
-    Q = (kappa * (1.0 - decay**2))[:, None, None] * eye
+    T = ot["decay"][:, None, None] * eye
+    b = ot["bfac"][:, None] * mu
+    Q = (kappa * ot["qfac"])[:, None, None] * eye
     Z = jnp.broadcast_to(eye, (n, n_dim, n_dim))
     H = _obs_noise(n, n_dim, sigma_obs, H_array, dtype)
 
@@ -126,7 +130,7 @@ def ou_ssm_steps(
 
 
 def ctcrw_steps(
-    par_mat, obs, times, ids, sigma_obs, H_array=None, P0=None
+    par_mat, obs, times, ids, sigma_obs, H_array=None, P0=None, dt=None
 ) -> KalmanSteps:
     """CTCRW (integrated OU): state = (position, velocity) per dim.
 
@@ -143,7 +147,7 @@ def ctcrw_steps(
     """
     n, n_dim = obs.shape
     s_dim = 2 * n_dim
-    dt, reset, valid, y = _common(obs, times, ids)
+    dt, reset, valid, y = _common(obs, times, ids, dt=dt)
     dtype = par_mat.dtype
     mu = par_mat[:, :n_dim]
     tau = jnp.exp(par_mat[:, n_dim])
@@ -151,9 +155,8 @@ def ctcrw_steps(
     beta = 1.0 / tau
     sigma = 2.0 * nu / jnp.sqrt(jnp.pi * tau)
 
-    e1 = jnp.exp(-beta * dt)
-    e2 = jnp.exp(-2.0 * beta * dt)
-    g = (1.0 - e1) / beta  # integral of e^{-beta u}
+    tt = ctcrw_transition_terms(beta, sigma**2, dt)
+    e1, g = tt["e1"], tt["g"]  # g = integral of e^{-beta u}
 
     # 2x2 per-dim blocks assembled into block-diagonal (s, s).
     T2 = jnp.stack(
@@ -163,10 +166,7 @@ def ctcrw_steps(
         ],
         axis=-2,
     )  # (n, 2, 2)
-    sb2 = (sigma / beta) ** 2
-    q00 = sb2 * (dt - 2.0 * g + (1.0 - e2) / (2.0 * beta))
-    q01 = sigma**2 / (2.0 * beta**2) * (1.0 - 2.0 * e1 + e2)
-    q11 = sigma**2 / (2.0 * beta) * (1.0 - e2)
+    q00, q01, q11 = tt["q00"], tt["q01"], tt["q11"]
     Q2 = jnp.stack(
         [
             jnp.stack([q00, q01], axis=-1),
@@ -183,8 +183,8 @@ def ctcrw_steps(
         Q = Q.at[:, sl, sl].set(Q2)
 
     b = jnp.zeros((n, s_dim), dtype)
-    bp = dt - g  # position drift factor (makeB, nllk_ctcrw.hpp:83-91)
-    bv = 1.0 - e1
+    bp = tt["bp"]  # position drift factor (makeB, nllk_ctcrw.hpp:83-91)
+    bv = tt["bv"]
     for d in range(n_dim):
         b = b.at[:, 2 * d].set(mu[:, d] * bp)
         b = b.at[:, 2 * d + 1].set(mu[:, d] * bv)
@@ -207,7 +207,8 @@ def ctcrw_steps(
 
 
 def eseal_ssm_steps(
-    par_mat, obs, times, ids, log_tau, a1, log_a2, h, R, dep_fat, P0=None
+    par_mat, obs, times, ids, log_tau, a1, log_a2, h, R, dep_fat, P0=None,
+    dt=None
 ) -> KalmanSteps:
     """Elephant-seal body-condition SSM. State = (intercept, lipid mass).
 
@@ -215,7 +216,7 @@ def eseal_ssm_steps(
     Z = [a1, a2/R_i], H = tau^2/h_i (nllk_e_seal_ssm.hpp:11-59,170-174).
     """
     n = obs.shape[0]
-    dt, reset, valid, y = _common(obs, times, ids)
+    dt, reset, valid, y = _common(obs, times, ids, dt=dt)
     dtype = par_mat.dtype
     mu = par_mat[:, 0]
     sigma = jnp.exp(par_mat[:, 1])
@@ -283,13 +284,13 @@ SSM_STEP_BUILDERS = {
 
 
 def ctcrw_steps_perdim(
-    par_mat, obs, times, ids, sigma_obs, P0=None
+    par_mat, obs, times, ids, sigma_obs, P0=None, dt=None
 ) -> KalmanSteps:
     """CTCRW steps with a leading dimension axis: leaves have shape
     (n_dim, n, ...) with per-dim state (position, velocity). vmap
     kalman_filter_parallel over axis 0 and sum the llk."""
     n, n_dim = obs.shape
-    dt, reset, valid, y = _common(obs, times, ids)
+    dt, reset, valid, y = _common(obs, times, ids, dt=dt)
     dtype = par_mat.dtype
     mu = par_mat[:, :n_dim]
     tau = jnp.exp(par_mat[:, n_dim])
@@ -297,9 +298,8 @@ def ctcrw_steps_perdim(
     beta = 1.0 / tau
     sigma = 2.0 * nu / jnp.sqrt(jnp.pi * tau)
 
-    e1 = jnp.exp(-beta * dt)
-    e2 = e1 * e1
-    g = (1.0 - e1) / beta
+    tt = ctcrw_transition_terms(beta, sigma**2, dt)
+    e1, g = tt["e1"], tt["g"]
     T2 = jnp.stack(
         [
             jnp.stack([jnp.ones_like(e1), g], axis=-1),
@@ -307,10 +307,7 @@ def ctcrw_steps_perdim(
         ],
         axis=-2,
     )  # (n, 2, 2), shared across dims
-    sb2 = (sigma / beta) ** 2
-    q00 = sb2 * (dt - 2.0 * g + (1.0 - e2) / (2.0 * beta))
-    q01 = sigma**2 / (2.0 * beta**2) * (1.0 - 2.0 * e1 + e2)
-    q11 = sigma**2 / (2.0 * beta) * (1.0 - e2)
+    q00, q01, q11 = tt["q00"], tt["q01"], tt["q11"]
     Q2 = jnp.stack(
         [
             jnp.stack([q00, q01], axis=-1),
@@ -321,7 +318,7 @@ def ctcrw_steps_perdim(
 
     T = jnp.broadcast_to(T2, (n_dim, n, 2, 2))
     Q = jnp.broadcast_to(Q2, (n_dim, n, 2, 2))
-    bd = jnp.stack([(dt - g), (1.0 - e1)], axis=-1)  # (n, 2)
+    bd = jnp.stack([tt["bp"], tt["bv"]], axis=-1)  # (n, 2)
     b = mu.T[:, :, None] * bd[None]  # (d, n, 2)
     Z = jnp.broadcast_to(
         jnp.asarray([[1.0, 0.0]], dtype), (n_dim, n, 1, 2)
@@ -353,14 +350,14 @@ def ctcrw_steps_perdim(
 
 
 def diag_ssm_steps_perdim(
-    type, par_mat, obs, times, ids, sigma_obs, P0=None
+    type, par_mat, obs, times, ids, sigma_obs, P0=None, dt=None
 ) -> KalmanSteps:
     """BM_SSM / OU_SSM with a leading dimension axis and scalar state.
 
     Every matrix is (.., 1, 1): closed-form filtering throughout.
     """
     n, n_dim = obs.shape
-    dt, reset, valid, y = _common(obs, times, ids)
+    dt, reset, valid, y = _common(obs, times, ids, dt=dt)
     dtype = par_mat.dtype
     mu = par_mat[:, :n_dim]
     if type == "BM_SSM":
@@ -371,10 +368,10 @@ def diag_ssm_steps_perdim(
     elif type == "OU_SSM":
         tau = jnp.exp(par_mat[:, n_dim])
         kappa = jnp.exp(par_mat[:, n_dim + 1])
-        decay = jnp.exp(-dt / tau)
-        t_scalar = decay
-        b_scalar = (1.0 - decay)[:, None] * mu
-        q_scalar = kappa * (1.0 - decay**2)
+        ot = ou_transition_terms(tau, dt)
+        t_scalar = ot["decay"]
+        b_scalar = ot["bfac"][:, None] * mu
+        q_scalar = kappa * ot["qfac"]
     else:
         raise ValueError(type)
 

@@ -124,7 +124,8 @@ CLOSED_FORM_LOGDENS = {
 }
 
 
-def closed_form_loglik(type, obs, times, ids, par_mat, other_data=None):
+def closed_form_loglik(type, obs, times, ids, par_mat, other_data=None,
+                       dt=None):
     """Total log-likelihood for a closed-form transition-density model.
 
     Args:
@@ -139,7 +140,12 @@ def closed_form_loglik(type, obs, times, ids, par_mat, other_data=None):
     """
     logdens = CLOSED_FORM_LOGDENS[type]
     Z0, Z1 = obs[:-1], obs[1:]
-    dt = times[1:] - times[:-1]
+    if dt is None:
+        dt = times[1:] - times[:-1]
+    else:
+        # precomputed host-f64 intervals (kalman_soa.precompute_dt
+        # convention: length n with a dummy last slot)
+        dt = jnp.asarray(dt)[:-1]
     par = par_mat[:-1]
     same_id = (ids[1:] == ids[:-1])[:, None]
     mask = same_id & jnp.isfinite(Z0) & jnp.isfinite(Z1)

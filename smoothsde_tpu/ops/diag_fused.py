@@ -131,7 +131,7 @@ class DiagSystem(NamedTuple):
     p0: float
 
 
-def diag_system(type, par_mat, obs, times, ids, sigma_obs, p0=10.0):
+def diag_system(type, par_mat, obs, times, ids, sigma_obs, p0=10.0, dt=None):
     """Build the shifted/masked per-step scalar system (mirrors
     kalman_soa.diag_ssm_loglik_soa's preamble)."""
     obs = jnp.asarray(obs)
@@ -143,10 +143,13 @@ def diag_system(type, par_mat, obs, times, ids, sigma_obs, p0=10.0):
     # negative dt overflows exp(-beta*dt) in f32 and NaN-poisons grads
     # through the masked branches)
     same_id = ids[1:] == ids[:-1]
-    dt = jnp.concatenate(
-        [jnp.where(same_id, jnp.diff(times), 1.0),
-         jnp.ones((1,), times.dtype)]
-    )
+    if dt is None:
+        dt = jnp.concatenate(
+            [jnp.where(same_id, jnp.diff(times), 1.0),
+             jnp.ones((1,), times.dtype)]
+        )
+    else:
+        dt = jnp.asarray(dt, times.dtype)
     reset = jnp.concatenate([jnp.ones((1,), bool), ids[1:] != ids[:-1]])
     valid = jnp.isfinite(obs[:, 0])
     y = jnp.nan_to_num(obs, nan=0.0)
@@ -502,8 +505,8 @@ def diag_fused_loglik(sys: DiagSystem):
 
 
 def diag_ssm_loglik_fused(type, par_mat, obs, times, ids, sigma_obs,
-                          p0=10.0):
+                          p0=10.0, dt=None):
     """BM_SSM / OU_SSM log-likelihood via the fused Pallas kernels with
     analytic gradients."""
-    sys = diag_system(type, par_mat, obs, times, ids, sigma_obs, p0)
+    sys = diag_system(type, par_mat, obs, times, ids, sigma_obs, p0, dt=dt)
     return diag_fused_loglik(sys)

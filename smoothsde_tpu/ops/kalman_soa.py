@@ -166,9 +166,14 @@ class CtcrwSystem(NamedTuple):
 
 
 def _ctcrw_system(par_mat, obs, times, ids, sigma_obs, p0_pos=1.0,
-                  p0_vel=10.0) -> CtcrwSystem:
+                  p0_vel=10.0, dt=None) -> CtcrwSystem:
     """Build the per-step SoA system + filtering elements (shared by the
-    likelihood, the smoother, and the analytic-gradient core)."""
+    likelihood, the smoother, and the analytic-gradient core).
+
+    Pass precomputed `dt` (host f64-derived, see precompute_dt) when
+    available: diff() of f32-encoded absolute times quantizes the
+    intervals (~3% at t ~ 3e4) and dominates long-horizon f32 error.
+    """
     obs = jnp.asarray(obs)
     times = jnp.asarray(times)
     ids = jnp.asarray(ids)
@@ -179,10 +184,13 @@ def _ctcrw_system(par_mat, obs, times, ids, sigma_obs, p0_pos=1.0,
     # negative dt overflows exp(-beta*dt) in f32 and NaN-poisons grads
     # through the masked branches)
     same_id = ids[1:] == ids[:-1]
-    dt = jnp.concatenate(
-        [jnp.where(same_id, jnp.diff(times), 1.0),
-         jnp.ones((1,), times.dtype)]
-    )
+    if dt is None:
+        dt = jnp.concatenate(
+            [jnp.where(same_id, jnp.diff(times), 1.0),
+             jnp.ones((1,), times.dtype)]
+        )
+    else:
+        dt = jnp.asarray(dt, times.dtype)
     reset = jnp.concatenate([jnp.ones((1,), bool), ids[1:] != ids[:-1]])
     valid = jnp.isfinite(obs[:, 0])
     y = jnp.nan_to_num(obs, nan=0.0)  # (n, d)
@@ -193,18 +201,19 @@ def _ctcrw_system(par_mat, obs, times, ids, sigma_obs, p0_pos=1.0,
     beta = 1.0 / tau
     sigma2 = 4.0 * nu * nu / (jnp.pi * tau)  # sigma^2
 
-    e1 = jnp.exp(-beta * dt)
-    e2 = e1 * e1
-    g = (1.0 - e1) / beta
-    # per-step transition (propagates i -> i+1), shared across dims
+    # per-step transition (propagates i -> i+1), shared across dims;
+    # cancellation-free forms (ops/stable.py) — the direct expressions
+    # cost ~3 digits of f32 gradient accuracy at small beta*dt
+    from smoothsde_tpu.ops.stable import ctcrw_transition_terms
+
+    tt = ctcrw_transition_terms(beta, sigma2, dt)
+    e1, g = tt["e1"], tt["g"]
     t00 = jnp.ones_like(e1)
     t01 = g
     t11 = e1
-    q00 = sigma2 / (beta * beta) * (dt - 2.0 * g + (1.0 - e2) / (2.0 * beta))
-    q01 = sigma2 / (2.0 * beta * beta) * (1.0 - 2.0 * e1 + e2)
-    q11 = sigma2 / (2.0 * beta) * (1.0 - e2)
-    bp = (dt - g)[None, :] * mu.T  # (d, n) position drift
-    bv = (1.0 - e1)[None, :] * mu.T  # velocity drift
+    q00, q01, q11 = tt["q00"], tt["q01"], tt["q11"]
+    bp = tt["bp"][None, :] * mu.T  # (d, n) position drift
+    bv = tt["bv"][None, :] * mu.T  # velocity drift
 
     h = jnp.asarray(sigma_obs, dtype) ** 2
 
@@ -352,9 +361,27 @@ def _llk_from_filtered(sys: CtcrwSystem, m_f, P_f):
     return jnp.sum(llk_terms)
 
 
+def precompute_dt(times, ids):
+    """Host-side f64 inter-observation intervals with cross-track
+    sanitization (dt = 1 across ID breaks and at the dummy last slot).
+
+    Absolute times encoded in f32 quantize the diffs (at t ~ 3e4 the
+    f32 grid is ~4e-3); the intervals themselves are small and
+    f32-exact to ~6e-8 relative, so compute them in f64 BEFORE any
+    device cast and feed `dt=` to the filter builders.
+    """
+    import numpy as np
+
+    t = np.asarray(times, np.float64)
+    i = np.asarray(ids)
+    same = i[1:] == i[:-1]
+    dt = np.where(same, np.diff(t), 1.0)
+    return np.concatenate([dt, np.ones(1)])
+
+
 def ctcrw_loglik_soa(par_mat, obs, times, ids, sigma_obs, p0_pos=1.0,
                      p0_vel=10.0, scan: str = "auto",
-                     analytic_grad: bool = False):
+                     analytic_grad: bool = False, dt=None):
     """Total CTCRW log-likelihood via the SoA associative-scan filter.
 
     par_mat: (n, d+2) working scale (mu_1..mu_d, log tau, log nu);
@@ -366,7 +393,9 @@ def ctcrw_loglik_soa(par_mat, obs, times, ids, sigma_obs, p0_pos=1.0,
     (ops/kalman_smooth.py): backward pass = parallel RTS smoother +
     elementwise score instead of AD through the scan.
     """
-    sys = _ctcrw_system(par_mat, obs, times, ids, sigma_obs, p0_pos, p0_vel)
+    sys = _ctcrw_system(
+        par_mat, obs, times, ids, sigma_obs, p0_pos, p0_vel, dt=dt
+    )
     if analytic_grad:
         from smoothsde_tpu.ops.kalman_smooth import llk2_analytic
 
@@ -380,7 +409,7 @@ def ctcrw_loglik_soa(par_mat, obs, times, ids, sigma_obs, p0_pos=1.0,
 
 
 def diag_ssm_loglik_soa(type, par_mat, obs, times, ids, sigma_obs,
-                        p0=10.0, scan: str = "auto"):
+                        p0=10.0, scan: str = "auto", dt=None):
     """BM_SSM / OU_SSM log-likelihood via a scalar-state SoA filter.
 
     State dim 1: the filtering element reduces to 5 scalars with
@@ -396,10 +425,13 @@ def diag_ssm_loglik_soa(type, par_mat, obs, times, ids, sigma_obs,
     # negative dt overflows exp(-beta*dt) in f32 and NaN-poisons grads
     # through the masked branches)
     same_id = ids[1:] == ids[:-1]
-    dt = jnp.concatenate(
-        [jnp.where(same_id, jnp.diff(times), 1.0),
-         jnp.ones((1,), times.dtype)]
-    )
+    if dt is None:
+        dt = jnp.concatenate(
+            [jnp.where(same_id, jnp.diff(times), 1.0),
+             jnp.ones((1,), times.dtype)]
+        )
+    else:
+        dt = jnp.asarray(dt, times.dtype)
     reset = jnp.concatenate([jnp.ones((1,), bool), ids[1:] != ids[:-1]])
     valid = jnp.isfinite(obs[:, 0])
     y = jnp.nan_to_num(obs, nan=0.0)
@@ -411,12 +443,14 @@ def diag_ssm_loglik_soa(type, par_mat, obs, times, ids, sigma_obs,
         b_s = dt[None, :] * mu.T
         q_s = sigma**2 * dt
     elif type == "OU_SSM":
+        from smoothsde_tpu.ops.stable import ou_transition_terms
+
         tau = jnp.exp(par_mat[:, n_dim])
         kappa = jnp.exp(par_mat[:, n_dim + 1])
-        decay = jnp.exp(-dt / tau)
-        t_s = decay
-        b_s = (1.0 - decay)[None, :] * mu.T
-        q_s = kappa * (1.0 - decay**2)
+        ot = ou_transition_terms(tau, dt)
+        t_s = ot["decay"]
+        b_s = ot["bfac"][None, :] * mu.T
+        q_s = kappa * ot["qfac"]
     else:
         raise ValueError(type)
     h = jnp.asarray(sigma_obs, dtype) ** 2

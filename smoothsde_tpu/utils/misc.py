@@ -39,12 +39,14 @@ def term_indices(
 
 def ctcrw_cov(beta: float, sigma: float, dt: float) -> np.ndarray:
     """Covariance of the joint (velocity, position) CTCRW transition
-    (utility.R:188-196; row/col order (V, Z) as there)."""
-    e1 = np.exp(-beta * dt)
-    e2 = np.exp(-2.0 * beta * dt)
-    q_vv = sigma**2 / (2.0 * beta) * (1.0 - e2)
-    q_zz = (sigma / beta) ** 2 * (
-        dt + (1.0 - e2) / (2.0 * beta) - 2.0 * (1.0 - e1) / beta
+    (utility.R:188-196; row/col order (V, Z) as there). Uses the
+    cancellation-free forms of ops/stable.py."""
+    from smoothsde_tpu.ops.stable import ctcrw_transition_terms
+
+    tt = ctcrw_transition_terms(
+        np.asarray(beta, float), np.asarray(sigma, float) ** 2,
+        np.asarray(dt, float), xp=np,
     )
-    q_vz = sigma**2 / (2.0 * beta**2) * (1.0 - 2.0 * e1 + e2)
-    return np.array([[q_vv, q_vz], [q_vz, q_zz]])
+    return np.array(
+        [[tt["q11"], tt["q01"]], [tt["q01"], tt["q00"]]]
+    )
