@@ -683,8 +683,16 @@ class SDE:
     # ------------------------------------------------------------------
 
     def residuals(self) -> np.ndarray:
-        """Normalized one-step-ahead residuals for BM/BM_t/OU
-        (R/sde.R:1186-1228)."""
+        """Normalized one-step-ahead residuals.
+
+        BM/BM_t/OU: closed-form transition residuals (R/sde.R:1186-1228).
+        State-space types (BM_SSM/OU_SSM/CTCRW/ESEAL_SSM): whitened
+        Kalman innovations chol(F)^{-1} (y - Z a_pred) — iid N(0, I)
+        under the model. The reference errors out for SSM types
+        (R/sde.R:1221); this extends the diagnostic to them.
+        """
+        if self._spec.kind == "ssm":
+            return self._residuals_ssm()
         n = self._data.n
         ids = self._ids
         breaks = np.where(ids[1:] != ids[:-1])[0]
@@ -722,6 +730,22 @@ class SDE:
         res = np.full((n, n_dim), np.nan)
         res[~is_start] = (Z[~is_start] - mean) / sd
         return res
+
+    def _residuals_ssm(self) -> np.ndarray:
+        """Whitened one-step-ahead Kalman innovations (see residuals)."""
+        res = self.out()
+        bundle = self.bundle()
+        full = bundle.packer.unpack(res.par, res.bhat)
+        u, F, ok = (np.asarray(a) for a in bundle.innovations(full))
+        n, m = u.shape
+        out = np.full((n, m), np.nan)
+        idx = np.where(ok)[0]
+        if idx.size:
+            L = np.linalg.cholesky(F[idx])
+            out[idx] = np.linalg.solve(
+                L, u[idx][..., None]
+            )[..., 0]
+        return out
 
     def edf_conditional(self) -> float:
         """Fixed df + trace(H_re V_re) (R/sde.R:1356-1379)."""
@@ -865,10 +889,15 @@ class SDE:
     # Simulation (R/sde.R:1381-1508)
     # ------------------------------------------------------------------
 
-    def simulate(self, data=None, z0=0.0, posterior: bool = False, rng=None):
+    def simulate(self, data=None, z0=0.0, posterior: bool = False, rng=None,
+                 sigma_obs=None):
         """Simulate observations for the covariates in `data`
         (R/sde.R:1395-1508). Returns a dict/DataFrame copy with the
-        response column(s) replaced by simulated paths."""
+        response column(s) replaced by simulated paths.
+
+        BM_SSM/OU_SSM (beyond the reference): latent path plus
+        measurement noise; `sigma_obs` defaults to the fitted estimate
+        (exp(log_sigma_obs)) when the model has been fitted."""
         from smoothsde_tpu.api.simulate import simulate_paths
 
         rng = np.random.default_rng() if rng is None else rng
@@ -899,8 +928,18 @@ class SDE:
             par = self.par(new_data=cdata)
 
         n_dim = len(self._response)
+        if sigma_obs is None and self._type in ("BM_SSM", "OU_SSM"):
+            if self._fit_result is not None:
+                res = self.out()
+                full = self.bundle().packer.unpack(res.par, res.bhat)
+                sigma_obs = float(np.exp(np.asarray(full["log_sigma_obs"])[0]))
+            else:
+                raise ValueError(
+                    "simulating an unfitted SSM requires sigma_obs="
+                )
         sims = simulate_paths(
-            self._type, par, times, ids, n_dim, z0, rng
+            self._type, par, times, ids, n_dim, z0, rng,
+            sigma_obs=sigma_obs,
         )
         if isinstance(data, dict):
             out = dict(data)

@@ -24,8 +24,26 @@ def simulate_paths(
     n_dim: int,
     z0,
     rng: np.random.Generator,
+    sigma_obs: float = None,
 ) -> np.ndarray:
-    """Simulate all response dims for all tracks. Returns (n, n_dim)."""
+    """Simulate all response dims for all tracks. Returns (n, n_dim).
+
+    BM_SSM/OU_SSM (beyond the reference, which raises for SSM types):
+    the exact latent BM/OU path plus iid N(0, sigma_obs^2) measurement
+    error (nllk_bm_ssm.hpp / nllk_ou_ssm.hpp observation equations).
+    CTCRW simulates the latent position process, as in the reference
+    (R/sde.R:1449-1478).
+    """
+    if type in ("BM_SSM", "OU_SSM"):
+        if sigma_obs is None:
+            raise ValueError(
+                f"simulating {type} requires sigma_obs (measurement SD)"
+            )
+        latent = simulate_paths(
+            type[:2] if type == "BM_SSM" else "OU",
+            par, times, ids, n_dim, z0, rng,
+        )
+        return latent + rng.normal(0.0, sigma_obs, size=latent.shape)
     n = len(times)
     z0 = np.asarray(z0, float).reshape(-1)
     if z0.size < n_dim:

@@ -64,6 +64,7 @@ class ObjectiveBundle:
     filter_states: Optional[Callable]  # SSMs: fn(full) -> (n, s) aest_all
     n_obs: int
     joint_nllk_ad: Optional[Callable] = None  # forward-mode-capable
+    innovations: Optional[Callable] = None  # SSMs: fn(full) -> (u, F, ok)
 
     def __post_init__(self):
         if self.joint_nllk_ad is None:
@@ -106,6 +107,13 @@ def build_objective(
     obs_j = jnp.asarray(obs, float)
     times_j = jnp.asarray(times, float)
     ids_j = jnp.asarray(np.asarray(ids))
+    # Inter-observation intervals computed HOST-SIDE in f64 before any
+    # device cast: diff() of f32-encoded absolute times quantizes dt
+    # (~3% at t ~ 3e4) and dominated the measured long-horizon f32
+    # error; the intervals themselves are f32-exact to ~6e-8 relative.
+    from smoothsde_tpu.ops.kalman_soa import precompute_dt
+
+    dt_j = jnp.asarray(precompute_dt(times, ids), float)
     loglik_ad = None  # forward-mode-capable twin, set where it differs
 
     # ---- decay-modulated splines (closed-form models only,
@@ -234,10 +242,12 @@ def build_objective(
 
         def loglik(full):
             return closed_form_loglik(
-                spec.type, obs_j, times_j, ids_j, par_matrix(full), other
+                spec.type, obs_j, times_j, ids_j, par_matrix(full), other,
+                dt=dt_j,
             )
 
         filter_states = None
+        innovations = None
     else:
         if spec.type == "ESEAL_SSM":
             h = jnp.asarray(np.asarray(other_data["h"], float))
@@ -270,7 +280,7 @@ def build_objective(
                 return eseal_ssm_steps(
                     par_matrix(full), obs_j, times_j, ids_j,
                     full["log_tau"][0], full["a1"][0], full["log_a2"][0],
-                    h, R, dep_fat, P0=P0,
+                    h, R, dep_fat, P0=P0, dt=dt_j,
                 )
 
             def loglik(full):
@@ -297,7 +307,7 @@ def build_objective(
                 return builder(
                     par_matrix(full), obs_j, times_j, ids_j,
                     sigma_obs=jnp.exp(full["log_sigma_obs"][0]),
-                    H_array=H_array, P0=P0,
+                    H_array=H_array, P0=P0, dt=dt_j,
                 )
 
             if H_array is None and P0 is None:
@@ -344,6 +354,7 @@ def build_objective(
                                 par_matrix(full), obs_j, times_j,
                                 ids_j, sigma_obs=sobs,
                                 scan="fused", analytic_grad=True,
+                                dt=dt_j,
                             )
                         from smoothsde_tpu.ops.diag_fused import (
                             diag_ssm_loglik_fused,
@@ -351,17 +362,17 @@ def build_objective(
 
                         return diag_ssm_loglik_fused(
                             spec.type, par_matrix(full), obs_j,
-                            times_j, ids_j, sigma_obs=sobs,
+                            times_j, ids_j, sigma_obs=sobs, dt=dt_j,
                         )
                     if spec.type == "CTCRW":
                         steps = ctcrw_steps_perdim(
                             par_matrix(full), obs_j, times_j, ids_j,
-                            sigma_obs=sobs, P0=P0,
+                            sigma_obs=sobs, P0=P0, dt=dt_j,
                         )
                     else:
                         steps = diag_ssm_steps_perdim(
                             spec.type, par_matrix(full), obs_j, times_j,
-                            ids_j, sigma_obs=sobs, P0=P0,
+                            ids_j, sigma_obs=sobs, P0=P0, dt=dt_j,
                         )
                     return kalman_loglik_batched(steps, impl=impl)
 
@@ -378,21 +389,21 @@ def build_objective(
                         if spec.type == "CTCRW":
                             return ctcrw_loglik_soa(
                                 par_matrix(full), obs_j, times_j, ids_j,
-                                sigma_obs=sobs,
+                                sigma_obs=sobs, dt=dt_j,
                             )
                         return diag_ssm_loglik_soa(
                             spec.type, par_matrix(full), obs_j, times_j,
-                            ids_j, sigma_obs=sobs,
+                            ids_j, sigma_obs=sobs, dt=dt_j,
                         )
                     if spec.type == "CTCRW":
                         steps = ctcrw_steps_perdim(
                             par_matrix(full), obs_j, times_j, ids_j,
-                            sigma_obs=sobs, P0=P0,
+                            sigma_obs=sobs, P0=P0, dt=dt_j,
                         )
                     else:
                         steps = diag_ssm_steps_perdim(
                             spec.type, par_matrix(full), obs_j, times_j,
-                            ids_j, sigma_obs=sobs, P0=P0,
+                            ids_j, sigma_obs=sobs, P0=P0, dt=dt_j,
                         )
                     return kalman_loglik_batched(steps, impl="sequential")
 
@@ -404,6 +415,11 @@ def build_objective(
             from smoothsde_tpu.ops.kalman import kalman_loglik_sequential
 
             return kalman_loglik_sequential(_steps(full), with_states=True)[1]
+
+        def innovations(full):
+            from smoothsde_tpu.ops.kalman import kalman_innovations
+
+            return kalman_innovations(_steps(full))
 
     if loglik_ad is None:
         loglik_ad = loglik
@@ -459,4 +475,5 @@ def build_objective(
         filter_states=filter_states if spec.kind == "ssm" else None,
         n_obs=n,
         joint_nllk_ad=joint_nllk_ad,
+        innovations=innovations if spec.kind == "ssm" else None,
     )

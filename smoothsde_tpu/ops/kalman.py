@@ -371,6 +371,51 @@ def kalman_loglik_batched(steps: KalmanSteps, impl: str = "auto"):
     return jnp.sum(jax.vmap(fn)(steps))
 
 
+def kalman_innovations(steps: KalmanSteps):
+    """One-step-ahead innovations for residual diagnostics.
+
+    Returns (u (n, m), F (n, m, m), ok (n,)): prediction errors
+    u_i = y_i - Z a_pred,i and predictive covariances F_i = Z P Z' + H
+    at every step where a measurement update happens (ok); u/F are
+    zero-filled elsewhere. Whitened residuals chol(F)^{-1} u are iid
+    N(0, I) under the model — the SSM extension of the reference's
+    closed-form residuals (R/sde.R:1186-1228, which error out for SSM
+    types).
+    """
+    s = steps.T.shape[-1]
+    eye = jnp.eye(s, dtype=steps.T.dtype)
+
+    def step(carry, x):
+        a, P = carry
+        (T, b, Q, Z, H, y, a0, P0, reset, valid) = x
+        a_pred = jnp.where(reset, a0, a)
+        P_pred = jnp.where(reset, P0, P)
+
+        u = y - Z @ a_pred
+        F = Z @ P_pred @ Z.T + H
+        sign, logdetF = jnp.linalg.slogdet(F)
+        ok = valid & (~reset) & (sign > 0) & jnp.isfinite(logdetF)
+        F_safe = jnp.where(ok, F, jnp.eye(F.shape[-1], dtype=F.dtype))
+
+        PZt = P_pred @ Z.T
+        K_gain = jnp.linalg.solve(F_safe, PZt.T).T
+        a_filt = jnp.where(ok, a_pred + K_gain @ u, a_pred)
+        P_filt = jnp.where(ok, (eye - K_gain @ Z) @ P_pred, P_pred)
+        a_prop = T @ a_filt + b
+        P_prop = _sym(T @ P_filt @ T.T + Q)
+        a_next = jnp.where(reset, a_pred, a_prop)
+        P_next = jnp.where(reset, P_pred, P_prop)
+        return (a_next, P_next), (
+            jnp.where(ok, u, 0.0),
+            jnp.where(ok, F, jnp.eye(F.shape[-1], dtype=F.dtype)),
+            ok,
+        )
+
+    init = (steps.a0[0], steps.P0[0])
+    (_, _), (u, F, ok) = jax.lax.scan(step, init, steps)
+    return u, F, ok
+
+
 def filtered_to_reported_states(steps: KalmanSteps, m_f: jax.Array):
     """Convert filtered means to the reference's aest_all convention
     (propagated one step forward; a0 at resets), nllk_ctcrw.hpp:230-246."""

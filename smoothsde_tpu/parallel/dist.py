@@ -111,6 +111,12 @@ def build_sharded_loglik(
     obs_p = jax.device_put(jnp.asarray(obs_p), shard)
     times_p = jax.device_put(jnp.asarray(layout.times_p), shard)
     zero_ids = jax.device_put(jnp.zeros((K_pad, L), jnp.int32), shard)
+    # per-track intervals in host f64 (see kalman_soa.precompute_dt on
+    # why dt must not come from f32 diff of absolute times)
+    dt_host = np.concatenate(
+        [np.diff(layout.times_p, axis=1), np.ones((K_pad, 1))], axis=1
+    )
+    dt_p = jax.device_put(jnp.asarray(dt_host), shard)
 
     if kalman_impl == "auto":
         # Per-track sequential scan: solid vjp on every backend (see
@@ -130,10 +136,12 @@ def build_sharded_loglik(
         def loglik(full, par_full):
             par_p = par_full[row_idx]
 
-            def track(o, t, zid, p):
-                return closed_form_loglik(spec.type, o, t, zid, p, other)
+            def track(o, t, zid, p, dtk):
+                return closed_form_loglik(
+                    spec.type, o, t, zid, p, other, dt=dtk
+                )
 
-            vals = jax.vmap(track)(obs_p, times_p, zero_ids, par_p)
+            vals = jax.vmap(track)(obs_p, times_p, zero_ids, par_p, dt_p)
             return jnp.sum(vals)
 
         return loglik
@@ -171,16 +179,16 @@ def build_sharded_loglik(
         def loglik(full, par_full):
             par_p = par_full[row_idx]
 
-            def track(o, t, zid, p, h_k, R_k, dep_k):
+            def track(o, t, zid, p, h_k, R_k, dep_k, dtk):
                 steps = builder(
                     p, o, t, zid,
                     full["log_tau"][0], full["a1"][0], full["log_a2"][0],
-                    h_k, R_k, dep_k, P0=P0_j,
+                    h_k, R_k, dep_k, P0=P0_j, dt=dtk,
                 )
                 return kalman_loglik(steps, impl=kalman_impl)
 
             vals = jax.vmap(track)(
-                obs_p, times_p, zero_ids, par_p, h_p, R_p, dep_p
+                obs_p, times_p, zero_ids, par_p, h_p, R_p, dep_p, dt_p
             )
             return jnp.sum(vals)
 
@@ -191,19 +199,24 @@ def build_sharded_loglik(
         sobs = jnp.exp(full["log_sigma_obs"][0])
 
         if H_p is None:
-            def track(o, t, zid, p):
-                steps = builder(p, o, t, zid, sigma_obs=sobs, P0=P0_j)
-                return kalman_loglik(steps, impl=kalman_impl)
-
-            vals = jax.vmap(track)(obs_p, times_p, zero_ids, par_p)
-        else:
-            def track(o, t, zid, p, Hk):
+            def track(o, t, zid, p, dtk):
                 steps = builder(
-                    p, o, t, zid, sigma_obs=sobs, H_array=Hk, P0=P0_j
+                    p, o, t, zid, sigma_obs=sobs, P0=P0_j, dt=dtk
                 )
                 return kalman_loglik(steps, impl=kalman_impl)
 
-            vals = jax.vmap(track)(obs_p, times_p, zero_ids, par_p, H_p)
+            vals = jax.vmap(track)(obs_p, times_p, zero_ids, par_p, dt_p)
+        else:
+            def track(o, t, zid, p, Hk, dtk):
+                steps = builder(
+                    p, o, t, zid, sigma_obs=sobs, H_array=Hk, P0=P0_j,
+                    dt=dtk,
+                )
+                return kalman_loglik(steps, impl=kalman_impl)
+
+            vals = jax.vmap(track)(
+                obs_p, times_p, zero_ids, par_p, H_p, dt_p
+            )
         return jnp.sum(vals)
 
     return loglik

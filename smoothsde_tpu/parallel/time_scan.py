@@ -37,15 +37,39 @@ def _identity_element(s: int, dtype) -> _Element:
     )
 
 
-def _sharded_prefix_scan(elems: _Element, mesh: Mesh, axis: str) -> _Element:
+def _sharded_prefix_scan(
+    elems: _Element, mesh: Mesh, axis: str, local_scan: str = "associative"
+) -> _Element:
     """Inclusive associative scan of filtering elements with the time
-    axis sharded over `axis`."""
+    axis sharded over `axis`.
+
+    local_scan: how each device scans its own shard — "associative"
+    (log-depth, the TPU path) or "sequential" (lax.scan; mathematically
+    identical, used to test gradients through the sharded composition
+    on the CPU backend where reverse-mode AD through
+    lax.associative_scan miscompiles, see ops/kalman.py).
+    """
     n_dev = mesh.shape[axis]
     s = elems.A.shape[-1]
     dtype = elems.A.dtype
 
     def local(elem_block: _Element) -> _Element:
-        scanned = jax.lax.associative_scan(_combine, elem_block, axis=0)
+        if local_scan == "sequential":
+            def step(carry, x):
+                new = _combine(carry, x)
+                return new, new
+
+            # the replicated identity must be marked as varying over the
+            # mesh axis to serve as a scan carry inside shard_map
+            init = jax.tree.map(
+                lambda x: jax.lax.pcast(x, (axis,), to="varying"),
+                _identity_element(s, dtype),
+            )
+            _, scanned = jax.lax.scan(step, init, elem_block)
+        else:
+            scanned = jax.lax.associative_scan(
+                _combine, elem_block, axis=0
+            )
         total = jax.tree.map(lambda x: x[-1], scanned)
         # all-gather each device's block total over ICI
         totals = jax.tree.map(
@@ -79,7 +103,8 @@ def _sharded_prefix_scan(elems: _Element, mesh: Mesh, axis: str) -> _Element:
 
 
 def kalman_filter_time_sharded(
-    steps: KalmanSteps, mesh: Mesh, axis: str = "time"
+    steps: KalmanSteps, mesh: Mesh, axis: str = "time",
+    local_scan: str = "associative",
 ):
     """Log-depth parallel Kalman filter with the step axis sharded.
 
@@ -89,7 +114,7 @@ def kalman_filter_time_sharded(
     Returns (llk, filtered_means).
     """
     elems = _build_elements(steps)
-    scanned = _sharded_prefix_scan(elems, mesh, axis)
+    scanned = _sharded_prefix_scan(elems, mesh, axis, local_scan)
     m_f, P_f = scanned.b, scanned.C
     llk_terms = predictive_loglik_terms(steps, m_f, P_f)
     return jnp.sum(llk_terms), m_f

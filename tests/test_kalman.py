@@ -520,3 +520,34 @@ class TestFusedPallas:
             assert np.allclose(
                 np.asarray(gf), np.asarray(gs), rtol=1e-8
             ), type
+
+
+class TestInnovations:
+    def test_innovations_reconstruct_loglik(self):
+        """llk rebuilt from (u, F, ok) must equal the sequential filter
+        llk exactly — pins the innovations used for SSM residuals."""
+        import jax.numpy as jnp
+        from smoothsde_tpu.models.ssm import ctcrw_steps
+        from smoothsde_tpu.ops.kalman import (
+            kalman_innovations,
+            kalman_loglik_sequential,
+        )
+
+        rng = np.random.default_rng(11)
+        n = 300
+        times = np.cumsum(rng.uniform(0.2, 0.8, size=n))
+        ids = np.repeat([0, 1, 2], n // 3)
+        obs = np.cumsum(rng.normal(size=(n, 2)) * 0.3, axis=0)
+        obs[40] = np.nan
+        par = np.tile([0.1, -0.2, np.log(1.5), np.log(0.8)], (n, 1))
+        steps = ctcrw_steps(
+            jnp.asarray(par), jnp.asarray(obs), jnp.asarray(times), ids,
+            sigma_obs=0.25,
+        )
+        llk_seq, _ = kalman_loglik_sequential(steps)
+        u, F, ok = kalman_innovations(steps)
+        u, F, ok = np.asarray(u), np.asarray(F), np.asarray(ok)
+        sign, logdet = np.linalg.slogdet(F)
+        quad = np.einsum("ni,nij,nj->n", u, np.linalg.inv(F), u)
+        llk = -0.5 * np.sum((logdet + quad)[ok])
+        assert np.isclose(float(llk_seq), llk, rtol=1e-10)

@@ -120,6 +120,24 @@ class TestSSM:
         assert abs(est[0] - mu_t) < 0.3
         assert abs(est[1] - sigma_t) / sigma_t < 0.3
 
+        # SSM residuals: whitened innovations are ~iid N(0, 1) at the
+        # fitted model (beyond-reference diagnostic; reference raises
+        # for SSM types, R/sde.R:1221)
+        r = sde.residuals()
+        r_ok = r[np.isfinite(r)]
+        assert r_ok.size >= n - 5
+        assert abs(r_ok.mean()) < 0.1
+        assert abs(r_ok.std() - 1.0) < 0.1
+
+        # SSM simulation: latent + measurement noise reproduces the
+        # increment-variance structure Var(dy) = sigma^2 dt + 2 sobs^2
+        sim = sde.simulate(rng=np.random.default_rng(5))
+        dy = np.diff(np.asarray(sim["z"]))
+        target = est[1] ** 2 * dt + 2.0 * float(
+            np.exp(res.par[res.par_names.index("log_sigma_obs")])
+        ) ** 2
+        assert abs(dy.var() / target - 1.0) < 0.2
+
     def test_ou_ssm_fit_and_filtered_states(self):
         rng = np.random.default_rng(4)
         n = 1500

@@ -72,6 +72,43 @@ class TestTimeShardedScan:
         llk_seq, _ = kalman_loglik_sequential(steps)
         assert np.isclose(float(v), float(llk_seq), rtol=1e-9)
 
+    def test_grad_parity_sharded_vs_sequential(self):
+        """jax.grad THROUGH the sharded composition (shard_map +
+        all_gather + cross-device prefix fold + local scan) must match
+        the gradient of the plain sequential filter. The local per-shard
+        scan uses the lax.scan form (mathematically identical to the
+        associative form, same cross-device stitching) because
+        reverse-mode AD through lax.associative_scan miscompiles on the
+        CPU backend in this environment — the sharded data path under
+        test (collectives + prefix composition) is exactly the
+        multi-chip hot path."""
+        mesh = make_mesh(4, axis="time")
+        n = 256
+        par, obs, times, ids = _ctcrw_data(5, n, n_tracks=2)
+        obs[50] = np.nan
+        par = jnp.asarray(par)
+        o, t = jnp.asarray(obs), jnp.asarray(times)
+
+        def llk_sharded(theta):
+            p = jnp.broadcast_to(theta, (n, 4))
+            steps = ctcrw_steps(p, o, t, ids, sigma_obs=0.2)
+            return kalman_filter_time_sharded(
+                steps, mesh, axis="time", local_scan="sequential"
+            )[0]
+
+        def llk_seq(theta):
+            p = jnp.broadcast_to(theta, (n, 4))
+            steps = ctcrw_steps(p, o, t, ids, sigma_obs=0.2)
+            return kalman_loglik_sequential(steps)[0]
+
+        theta = jnp.asarray([0.1, -0.05, np.log(2.0), np.log(1.0)])
+        v_sh, g_sh = jax.jit(jax.value_and_grad(llk_sharded))(theta)
+        v_sq, g_sq = jax.value_and_grad(llk_seq)(theta)
+        assert np.isclose(float(v_sh), float(v_sq), rtol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(g_sh), np.asarray(g_sq), rtol=1e-7
+        )
+
 
 class TestBatchedTracks:
     def test_vmapped_tracks_match_flat(self):
