@@ -136,6 +136,7 @@ class SmoothBlock:
     by: Optional[str] = None
     by_level: Optional[object] = None  # factor-by level, None for numeric
     col_names: List[str] = dataclasses.field(default_factory=list)
+    vars: Optional[List[str]] = None  # covariate columns of the basis
 
 
 class FormulaDesign:
@@ -175,17 +176,24 @@ class FormulaDesign:
         self._smooth_specs = []
         for sm in formula.smooth_terms:
             is_factor = sm.var in data.columns and data.is_factor(sm.var)
+            sm_vars = [sm.var] if sm.var2 is None else [sm.var, sm.var2]
+            if sm.var2 is not None:
+                xvals = np.column_stack(
+                    [data.numeric(sm.var), data.numeric(sm.var2)]
+                )
+            elif is_factor:
+                xvals = data.raw(sm.var)
+            else:
+                xvals = data.numeric(sm.var)
+            base = build_smooth(
+                sm, xvals, is_factor,
+                levels=data.levels(sm.var) if is_factor else None,
+            )
             if sm.by is not None and data.is_factor(sm.by):
                 # factor by: one centered copy of the smooth per level,
                 # each with its own penalty (mgcv behavior; example.R:20)
-                base = build_smooth(
-                    sm, data.raw(sm.var) if is_factor else data.numeric(sm.var),
-                    is_factor,
-                    levels=data.levels(sm.var) if is_factor else None,
-                )
-                by_vals = data.raw(sm.by)
                 for lv in data.levels(sm.by):
-                    label = f"s({sm.var}):{sm.by}{lv}"
+                    label = f"{base.label}:{sm.by}{lv}"
                     blk = SmoothBlock(
                         label=label,
                         basis=base,
@@ -194,15 +202,11 @@ class FormulaDesign:
                         col_names=[
                             f"{label}.{i + 1}" for i in range(base.X.shape[1])
                         ],
+                        vars=sm_vars,
                     )
                     self.blocks.append(blk)
             else:
-                base = build_smooth(
-                    sm, data.raw(sm.var) if is_factor else data.numeric(sm.var),
-                    is_factor,
-                    levels=data.levels(sm.var) if is_factor else None,
-                )
-                label = base.label if sm.by is None else f"s({sm.var}):{sm.by}"
+                label = base.label if sm.by is None else f"{base.label}:{sm.by}"
                 blk = SmoothBlock(
                     label=label,
                     basis=base,
@@ -211,6 +215,7 @@ class FormulaDesign:
                     col_names=[
                         f"{label}.{i + 1}" for i in range(base.X.shape[1])
                     ],
+                    vars=sm_vars,
                 )
                 self.blocks.append(blk)
 
@@ -224,12 +229,15 @@ class FormulaDesign:
     def _smooth_matrix(self, data: ColumnData) -> np.ndarray:
         cols = []
         for blk in self.blocks:
-            sm_var = _basis_var(blk)
-            x = (
-                data.raw(sm_var)
-                if isinstance(blk.basis, _RE_TYPES)
-                else data.numeric(sm_var)
-            )
+            sm_vars = blk.vars if blk.vars else [_basis_var(blk)]
+            if len(sm_vars) == 2:
+                x = np.column_stack(
+                    [data.numeric(v) for v in sm_vars]
+                )
+            elif isinstance(blk.basis, _RE_TYPES):
+                x = data.raw(sm_vars[0])
+            else:
+                x = data.numeric(sm_vars[0])
             X = blk.basis.eval(x)
             if blk.by is not None:
                 if blk.by_level is not None:

@@ -36,11 +36,14 @@ class SmoothTerm:
     by: Optional[str] = None
     m: int = 2  # penalty order (tp)
     label_override: Optional[str] = None
+    var2: Optional[str] = None  # second covariate (2-d isotropic tp)
 
     @property
     def label(self) -> str:
         if self.label_override:
             return self.label_override
+        if self.var2 is not None:
+            return f"s({self.var},{self.var2})"
         return f"s({self.var})"
 
 
@@ -81,6 +84,8 @@ class Formula:
                     out.append(node.id)
         for s in self.smooth_terms:
             out.append(s.var)
+            if s.var2 is not None:
+                out.append(s.var2)
             if s.by is not None:
                 out.append(s.by)
         seen, uniq = set(), []
@@ -111,12 +116,15 @@ def _parse_smooth(term: str) -> SmoothTerm:
     tree = ast.parse(term, mode="eval").body
     if not (isinstance(tree, ast.Call) and getattr(tree.func, "id", None) == "s"):
         raise ValueError(f"not a smooth term: {term!r}")
-    if len(tree.args) != 1 or not isinstance(tree.args[0], ast.Name):
+    if (
+        not 1 <= len(tree.args) <= 2
+        or not all(isinstance(a, ast.Name) for a in tree.args)
+    ):
         raise ValueError(
-            f"s() takes exactly one covariate name (got {term!r}); "
-            "multi-dimensional smooths are not supported yet"
+            f"s() takes one or two covariate names (got {term!r})"
         )
     var = tree.args[0].id
+    var2 = tree.args[1].id if len(tree.args) == 2 else None
     kw = {}
     for k in tree.keywords:
         if isinstance(k.value, ast.Constant):
@@ -126,14 +134,20 @@ def _parse_smooth(term: str) -> SmoothTerm:
         else:
             raise ValueError(f"unsupported s() argument {k.arg!r} in {term!r}")
     bs = kw.get("bs", "tp")
-    if bs not in ("tp", "ts", "cr", "cs", "re", "bs"):
+    if bs not in ("tp", "ts", "cr", "cs", "cc", "re", "bs"):
         raise ValueError(f"unsupported basis bs={bs!r} in {term!r}")
+    if var2 is not None and bs not in ("tp", "ts"):
+        raise ValueError(
+            f"2-d smooths support bs='tp'/'ts' only (got bs={bs!r} in "
+            f"{term!r})"
+        )
     return SmoothTerm(
         var=var,
         k=int(kw.get("k", -1)),
         bs=bs,
         by=kw.get("by"),
         m=int(kw.get("m", 2)),
+        var2=var2,
     )
 
 

@@ -112,28 +112,38 @@ class SmoothBasis:
 
 @dataclasses.dataclass
 class _TPState:
-    knots: np.ndarray  # (K,) radial basis centers
-    shift: float
-    scale: float
+    knots: np.ndarray  # (K, d) radial basis centers
+    shift: np.ndarray  # (d,)
+    scale: np.ndarray  # (d,)
     UkZ: np.ndarray  # (K, p_spline) combined eigen + constraint transform
     T_transform: np.ndarray  # maps [E_new UkZ | T_new] -> final columns
 
 
 class TPSmooth(SmoothBasis):
-    """Thin plate regression spline, d=1, penalty order m=2 (Wood 2003).
+    """Thin plate regression spline, d in {1, 2}, penalty order m=2
+    (Wood 2003).
 
-    eta(r) = r^3 / 12; basis from the leading eigenvectors of the radial
-    matrix E on the (possibly subsampled) unique covariate values, null
-    space = {1, x}, spline coefficients constrained to be orthogonal to
-    the null space, then the model-level sum-to-zero constraint is
-    absorbed. 'ts' applies shrinkage_penalty afterwards.
+    eta(r) = r^3/12 (d=1) or r^2 log r / (8 pi) (d=2); basis from the
+    leading eigenvectors of the radial matrix E on the (possibly
+    subsampled) unique covariate values/pairs, null space = polynomials
+    of degree < 2 ({1, x} or {1, x, y}), spline coefficients constrained
+    orthogonal to the null space, then the model-level sum-to-zero
+    constraint is absorbed. 'ts' applies shrinkage_penalty afterwards.
+    The d=2 smooth is isotropic with a SINGLE penalty (mgcv s(x, y)),
+    unlike scale-variant tensor products.
     """
 
     def __init__(self, label, x, k, shrink=False):
         x = np.asarray(x, float)
-        u = np.unique(x)
-        if k < 3:
-            raise ValueError("tp basis needs k >= 3")
+        if x.ndim == 1:
+            x = x[:, None]
+        d = x.shape[1]
+        if d not in (1, 2):
+            raise ValueError("tp basis supports 1 or 2 covariates")
+        u = np.unique(x, axis=0)
+        M = d + 1  # null-space dim for m=2
+        if k < M + 1:
+            raise ValueError(f"tp basis needs k >= {M + 1} for d={d}")
         if len(u) > _MAX_TP_KNOTS:
             pos = np.linspace(0, len(u) - 1, _MAX_TP_KNOTS).round().astype(int)
             u = u[pos]
@@ -143,13 +153,13 @@ class TPSmooth(SmoothBasis):
                 f"values ({len(u)})"
             )
         # standardize for conditioning
-        shift, scale = float(u.mean()), float(u.std() + 1e-300)
+        shift = u.mean(axis=0)
+        scale = u.std(axis=0) + 1e-300
         us = (u - shift) / scale
         xs = (x - shift) / scale
 
-        E = _tp_eta(np.abs(us[:, None] - us[None, :]))
-        Tmat = np.column_stack([np.ones_like(us), us])  # null space (K, 2)
-        M = 2
+        E = _tp_eta(_pairdist(us, us), d)
+        Tmat = _tp_null_basis(us)  # (K, M)
 
         w, V = np.linalg.eigh(E)
         order = np.argsort(-np.abs(w))
@@ -163,8 +173,8 @@ class TPSmooth(SmoothBasis):
         Zc = Qc[:, M:]  # (k, k - M)
         UkZ = Uk @ Zc  # (K, k-M): delta = UkZ z
 
-        X_spline = _tp_eta(np.abs(xs[:, None] - us[None, :])) @ UkZ
-        X_full = np.column_stack([X_spline, Tmat_eval(xs)])
+        X_spline = _tp_eta(_pairdist(xs, us), d) @ UkZ
+        X_full = np.column_stack([X_spline, _tp_null_basis(xs)])
         # energy = delta' E delta = z' (Zc' diag(Dk) Zc) z
         S_full = np.zeros((k, k))
         S_full[: k - M, : k - M] = Zc.T @ (Dk[:, None] * Zc)
@@ -173,10 +183,10 @@ class TPSmooth(SmoothBasis):
         Z = sum_to_zero_constraint(X_full)
         X = X_full @ Z
         S = Z.T @ S_full @ Z
-        # exact penalty null dim after centering: m=2 null {1,x} loses the
-        # constant -> 1 remaining null direction
+        # exact penalty null dim after centering: the degree-<2 null
+        # space loses the constant -> M - 1 remaining null directions
         if shrink:
-            S = shrinkage_penalty(S, null_dim=1)
+            S = shrinkage_penalty(S, null_dim=M - 1)
 
         self._state = _TPState(
             knots=u, shift=shift, scale=scale, UkZ=UkZ, T_transform=Z
@@ -190,20 +200,40 @@ class TPSmooth(SmoothBasis):
 
     def eval(self, x_new):
         st = self._state
-        xs = (np.asarray(x_new, float) - st.shift) / st.scale
+        x_new = np.asarray(x_new, float)
+        if x_new.ndim == 1:
+            x_new = x_new[:, None]
+        d = st.knots.shape[1]
+        xs = (x_new - st.shift) / st.scale
         us = (st.knots - st.shift) / st.scale
-        X_spline = _tp_eta(np.abs(xs[:, None] - us[None, :])) @ st.UkZ
-        X_full = np.column_stack([X_spline, Tmat_eval(xs)])
+        X_spline = _tp_eta(_pairdist(xs, us), d) @ st.UkZ
+        X_full = np.column_stack([X_spline, _tp_null_basis(xs)])
         return X_full @ st.T_transform
 
 
-def _tp_eta(r):
-    """1-d thin-plate radial basis eta(r) = r^3/12 (m=2, d=1)."""
-    return r**3 / 12.0
+def _pairdist(a, b):
+    """Euclidean distances between row sets (na, d) x (nb, d)."""
+    diff = a[:, None, :] - b[None, :, :]
+    return np.sqrt((diff**2).sum(axis=-1))
+
+
+def _tp_eta(r, d):
+    """Thin-plate radial basis for m=2: r^3/12 (d=1),
+    r^2 log(r)/(8 pi) (d=2, with eta(0) = 0)."""
+    if d == 1:
+        return r**3 / 12.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = r * r * np.log(r) / (8.0 * np.pi)
+    return np.where(r > 0, out, 0.0)
+
+
+def _tp_null_basis(xs):
+    """Polynomials of degree < m=2: [1, x] or [1, x, y]."""
+    return np.column_stack([np.ones(len(xs)), xs])
 
 
 def Tmat_eval(xs):
-    return np.column_stack([np.ones_like(xs), xs])
+    return _tp_null_basis(np.asarray(xs, float).reshape(len(xs), -1))
 
 
 @dataclasses.dataclass
@@ -291,6 +321,91 @@ def _cr_design(x, knots, F):
             Xb = _cr_design(np.array([b, b + sgn * d]), knots, F)
             slope = sgn * (Xb[1] - Xb[0]) / d
             X[mask] = Xb[0][None, :] + (x[mask] - b)[:, None] * slope[None, :]
+    return X
+
+
+@dataclasses.dataclass
+class _CCState:
+    knots: np.ndarray  # (K,) including both endpoints (identified)
+    F: np.ndarray  # (K-1, K-1): free values -> curvatures at knots
+    Z: np.ndarray
+
+
+class CCSmooth(SmoothBasis):
+    """Cyclic cubic regression spline (Wood 2017 section 5.3.2 flavor;
+    mgcv bs='cc'). Parameters are function values at the K-1 distinct
+    knots; f and its first two derivatives are continuous across the
+    wrap point f(knot_K) = f(knot_0). Penalty is the integrated squared
+    second derivative over one period. Evaluation wraps x into the knot
+    range modulo the period.
+    """
+
+    def __init__(self, label, x, k, shrink=False):
+        x = np.asarray(x, float)
+        if k < 4:
+            raise ValueError("cc basis needs k >= 4")
+        knots = _place_knots(x, k)
+        K = k - 1  # free values (last knot identified with first)
+        h = np.diff(knots)  # (K,) interval widths, h[K-1] closes the loop
+
+        # Cyclic value->curvature system B gam = D beta with gam the
+        # second derivatives at the K free knots: continuity of f' at
+        # every knot of the periodic natural spline.
+        B = np.zeros((K, K))
+        D = np.zeros((K, K))
+        for i in range(K):  # knot i, intervals (i-1) and i
+            im = (i - 1) % K
+            ip = (i + 1) % K
+            B[i, im] += h[im] / 6.0
+            B[i, i] += (h[im] + h[i]) / 3.0
+            B[i, ip] += h[i] / 6.0
+            D[i, im] += 1.0 / h[im]
+            D[i, i] += -1.0 / h[im] - 1.0 / h[i]
+            D[i, ip] += 1.0 / h[i]
+        # duplicate wrap contributions collapse for K=3; fine for K>=3
+        F = np.linalg.solve(B, D)  # (K, K)
+        S_full = D.T @ F  # D' B^-1 D
+
+        X_full = _cc_design(x, knots, F)
+        Z = sum_to_zero_constraint(X_full)
+        X = X_full @ Z
+        S = Z.T @ S_full @ Z
+        if shrink:
+            S = shrinkage_penalty(S, null_dim=1)
+        self._state = _CCState(knots=knots, F=F, Z=Z)
+        super().__init__(
+            label=label,
+            X=X,
+            S=0.5 * (S + S.T),
+            col_names=[f"{label}.{i + 1}" for i in range(X.shape[1])],
+        )
+
+    def eval(self, x_new):
+        st = self._state
+        return _cc_design(np.asarray(x_new, float), st.knots, st.F) @ st.Z
+
+
+def _cc_design(x, knots, F):
+    """Evaluate the cyclic basis (values at the K-1 free knots) at x,
+    wrapping into [knots[0], knots[-1]) modulo the period."""
+    K = len(knots) - 1  # free values
+    lo, hi = knots[0], knots[-1]
+    period = hi - lo
+    x_in = lo + np.mod(np.asarray(x, float) - lo, period)
+    j = np.clip(np.searchsorted(knots, x_in, side="right") - 1, 0, K - 1)
+    h = knots[j + 1] - knots[j]
+    xl = (knots[j + 1] - x_in) / h
+    xr = (x_in - knots[j]) / h
+    cl = ((knots[j + 1] - x_in) ** 3 / h - h * (knots[j + 1] - x_in)) / 6.0
+    cr = ((x_in - knots[j]) ** 3 / h - h * (x_in - knots[j])) / 6.0
+
+    n = len(x_in)
+    X = np.zeros((n, K))
+    rows = np.arange(n)
+    jp = (j + 1) % K  # value at the wrap knot is the first free value
+    np.add.at(X, (rows, j), xl)
+    np.add.at(X, (rows, jp), xr)
+    X += cl[:, None] * F[j, :] + cr[:, None] * F[jp, :]
     return X
 
 
@@ -403,11 +518,14 @@ def build_smooth(term, x, is_factor, levels=None) -> SmoothBasis:
         raise ValueError(
             f"smooth of factor {term.var!r} requires bs='re'"
         )
-    k = term.k if term.k > 0 else 10  # mgcv 1-d default
+    two_d = np.asarray(x).ndim == 2 and np.asarray(x).shape[1] == 2
+    k = term.k if term.k > 0 else (30 if two_d else 10)  # mgcv defaults
     if bs in ("tp", "ts"):
         return TPSmooth(label, x, k, shrink=(bs == "ts"))
     if bs in ("cr", "cs"):
         return CRSmooth(label, x, k, shrink=(bs == "cs"))
+    if bs == "cc":
+        return CCSmooth(label, x, k)
     if bs == "bs":
         return BSSmooth(label, x, k)
     raise ValueError(f"unknown basis {bs!r}")

@@ -200,3 +200,74 @@ class TestDesignAssembly:
         d = build_design({"mu": "~sin(2*pi*time/24)", "sigma": "~1"}, data)
         expected = np.sin(2 * np.pi * np.asarray(data["time"]) / 24)
         assert np.allclose(d.per_param["mu"].X_fe[:, 1], expected)
+
+
+class TestTwoDAndCyclic:
+    def _data(self, n=80, seed=7):
+        rng = np.random.default_rng(seed)
+        return {
+            "x1": rng.uniform(0, 2, n),
+            "x2": rng.uniform(-1, 1, n),
+            "hour": rng.uniform(0, 24, n),
+        }
+
+    def test_2d_tp_shape_and_eval_roundtrip(self):
+        data = self._data()
+        d = build_design(
+            {"mu": "~s(x1, x2, k=12)", "sigma": "~1"}, data
+        )
+        fd = d.per_param["mu"]
+        assert fd.X_re.shape[1] == 11  # k - 1 after centering
+        assert fd.smooth_labels == ["s(x1,x2)"]
+        ev = d.eval(ColumnData({k: np.asarray(v)[:10] for k, v in data.items()}))
+        assert np.allclose(ev.re_blocks[0], fd.X_re[:10])
+
+    def test_2d_tp_linear_null_space(self):
+        """Centered linear functions of either covariate live in the
+        penalty null space (m=2 null = {1, x, y})."""
+        from smoothsde_tpu.formula.smooths import TPSmooth
+
+        data = self._data(n=60)
+        x = np.column_stack([data["x1"], data["x2"]])
+        sm = TPSmooth("s(x1,x2)", x, k=14)
+        for col in range(2):
+            target = x[:, col] - x[:, col].mean()
+            coef, *_ = np.linalg.lstsq(sm.X, target, rcond=None)
+            assert np.max(np.abs(sm.X @ coef - target)) < 1e-8
+            assert coef @ sm.S @ coef < 1e-10 * (coef @ coef)
+
+    def test_2d_tp_penalizes_curvature(self):
+        from smoothsde_tpu.formula.smooths import TPSmooth
+
+        data = self._data(n=60)
+        x = np.column_stack([data["x1"], data["x2"]])
+        sm = TPSmooth("s(x1,x2)", x, k=14)
+        target = x[:, 0] ** 2 + x[:, 0] * x[:, 1]
+        target -= target.mean()
+        coef, *_ = np.linalg.lstsq(sm.X, target, rcond=None)
+        assert coef @ sm.S @ coef > 1e-6 * (coef @ coef)
+
+    def test_cc_formula_integration(self):
+        data = self._data()
+        d = build_design({"mu": "~s(hour, k=6, bs='cc')", "sigma": "~1"}, data)
+        fd = d.per_param["mu"]
+        # cc: k-1 free values, minus 1 for centering
+        assert fd.X_re.shape[1] == 4
+        # periodic: shifting by the knot period reproduces the rows
+        from smoothsde_tpu.formula.smooths import CCSmooth
+
+        knots = fd.blocks[0].basis._state.knots
+        period = knots[-1] - knots[0]
+        shifted = {
+            k: (np.asarray(v) + (period if k == "hour" else 0.0))
+            for k, v in data.items()
+        }
+        ev = d.eval(ColumnData(shifted))
+        assert np.allclose(ev.re_blocks[0], fd.X_re, atol=1e-8)
+
+    def test_parser_rejects_2d_cr(self):
+        import pytest
+        from smoothsde_tpu.formula.parser import parse_formula
+
+        with pytest.raises(ValueError):
+            parse_formula("~s(x1, x2, bs='cr')")
