@@ -34,25 +34,27 @@ def main():
     backend = jax.default_backend()
     dtype = jnp.float32
 
-    from smoothsde_tpu.ops.kalman_soa import ctcrw_loglik_soa
+    from smoothsde_tpu.ops.kalman_soa import ctcrw_loglik_soa, precompute_dt
 
     rng = np.random.default_rng(0)
     n = N_STEPS
-    times = np.cumsum(rng.uniform(0.4, 0.6, size=n)).astype(np.float32)
+    times = np.cumsum(rng.uniform(0.4, 0.6, size=n))
     obs = np.cumsum(rng.normal(size=(n, 2)).astype(np.float32) * 0.3, axis=0)
     ids = np.zeros(n, np.int32)
     # working-scale parameters (mu1, mu2, log tau, log nu)
     theta0 = jnp.asarray([0.0, 0.0, np.log(2.0), np.log(1.0)], dtype)
 
     obs_j = jnp.asarray(obs)
-    times_j = jnp.asarray(times)
+    times_j = jnp.asarray(times, dtype)
+    # host-f64 intervals, the production pipeline (objective.py)
+    dt_j = jnp.asarray(precompute_dt(times, ids), dtype)
 
     def nllk(theta):
         par = jnp.broadcast_to(theta, (n, 4))
         # fused Pallas filter + Fisher-identity analytic gradient
         return -ctcrw_loglik_soa(
             par, obs_j, times_j, ids, sigma_obs=jnp.asarray(0.1, dtype),
-            scan="fused", analytic_grad=True,
+            scan="fused", analytic_grad=True, dt=dt_j,
         )
 
     fn = jax.jit(jax.value_and_grad(nllk))

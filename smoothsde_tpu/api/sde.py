@@ -58,6 +58,7 @@ class SDE:
         par0=None,
         fixpar: Optional[List[str]] = None,
         other_data: Optional[dict] = None,
+        knots: Optional[dict] = None,
     ):
         if data is None or response is None:
             raise ValueError("'data' and 'response' are required")
@@ -117,8 +118,11 @@ class SDE:
         self._times = cdata.numeric("time")
         self._obs = np.column_stack([cdata.numeric(r) for r in responses])
 
-        # design matrices (R/sde.R:127-135)
-        self._design = build_design(self._formulas, cdata)
+        # design matrices (R/sde.R:127-135). `knots` maps covariate
+        # names to explicit knot locations (mgcv gam(knots=...)
+        # equivalent; sets the cc period).
+        self._knots = dict(knots or {})
+        self._design = build_design(self._formulas, cdata, knots=self._knots)
         self._terms = {
             "ncol_fe": list(self._design.ncol_fe),
             "ncol_re": list(self._design.ncol_re),
@@ -132,7 +136,7 @@ class SDE:
         p_re = sum(self._terms["ncol_re"])
         self._coeff_fe = np.zeros(p_fe)
         self._coeff_re = np.zeros(p_re)
-        self._lambda = np.ones(len(self._terms["ncol_re"]))
+        self._lambda = np.ones(self._design.n_lambda)
         if par0 is not None:
             if len(par0) != len(param_names):
                 raise ValueError(

@@ -140,9 +140,14 @@ class SmoothBlock:
 
 
 class FormulaDesign:
-    """Design builder for one SDE parameter's formula."""
+    """Design builder for one SDE parameter's formula.
 
-    def __init__(self, formula, data: ColumnData):
+    knots: optional {covariate: knot locations} passed to cr/cs/cc
+    bases (sets the cc period).
+    """
+
+    def __init__(self, formula, data: ColumnData, knots=None):
+        self._knots = dict(knots or {})
         if isinstance(formula, str):
             formula = parse_formula(formula)
         self.formula: Formula = formula
@@ -188,6 +193,7 @@ class FormulaDesign:
             base = build_smooth(
                 sm, xvals, is_factor,
                 levels=data.levels(sm.var) if is_factor else None,
+                knots=self._knots.get(sm.var),
             )
             if sm.by is not None and data.is_factor(sm.by):
                 # factor by: one centered copy of the smooth per level,
@@ -222,6 +228,9 @@ class FormulaDesign:
         self.X_re = self._smooth_matrix(data)
         self.names_re = [n for blk in self.blocks for n in blk.col_names]
         self.S_blocks = [blk.basis.S for blk in self.blocks]
+        # one GROUP per block; a group's matrices share the block's
+        # coefficients with one lambda each (tensor smooths have two)
+        self.S_groups = [list(blk.basis.S_list) for blk in self.blocks]
         self.smooth_labels = [blk.label for blk in self.blocks]
 
     # -- evaluation ---------------------------------------------------------
@@ -331,6 +340,34 @@ class DesignMatrices:
             S for p in self.param_names for S in self.per_param[p].S_blocks
         ]
 
+    @property
+    def S_groups(self) -> List[List[np.ndarray]]:
+        """Penalty groups: one per smooth block, each a list of penalty
+        matrices over that block's coefficients (len > 1 for tensor
+        smooths). The lambda vector has one entry per matrix, in this
+        flattened order."""
+        return [
+            g for p in self.param_names for g in self.per_param[p].S_groups
+        ]
+
+    @property
+    def n_lambda(self) -> int:
+        return sum(len(g) for g in self.S_groups)
+
+    @property
+    def lambda_labels(self) -> List[str]:
+        out = []
+        for p in self.param_names:
+            fd = self.per_param[p]
+            for lab, grp in zip(fd.smooth_labels, fd.S_groups):
+                if len(grp) == 1:
+                    out.append(f"{p}.{lab}")
+                else:
+                    out.extend(
+                        f"{p}.{lab}[m{j + 1}]" for j in range(len(grp))
+                    )
+        return out
+
     def fe_blocks(self) -> List[np.ndarray]:
         return [self.per_param[p].X_fe for p in self.param_names]
 
@@ -382,11 +419,15 @@ def _block_diag(blocks: List[np.ndarray]) -> np.ndarray:
     return out
 
 
-def build_design(formulas: Dict[str, object], data) -> DesignMatrices:
-    """Build the joint design for an ordered dict of parameter formulas."""
+def build_design(formulas: Dict[str, object], data, knots=None) -> DesignMatrices:
+    """Build the joint design for an ordered dict of parameter formulas.
+
+    knots: optional {covariate: knot locations} for cr/cs/cc bases.
+    """
     cdata = data if isinstance(data, ColumnData) else ColumnData(data)
     per_param = {
-        name: FormulaDesign(form, cdata) for name, form in formulas.items()
+        name: FormulaDesign(form, cdata, knots=knots)
+        for name, form in formulas.items()
     }
     return DesignMatrices(
         param_names=list(formulas), per_param=per_param, n=cdata.n

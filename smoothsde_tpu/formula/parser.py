@@ -37,14 +37,16 @@ class SmoothTerm:
     m: int = 2  # penalty order (tp)
     label_override: Optional[str] = None
     var2: Optional[str] = None  # second covariate (2-d isotropic tp)
+    tensor: Optional[str] = None  # "te"/"ti" for tensor-product smooths
 
     @property
     def label(self) -> str:
         if self.label_override:
             return self.label_override
+        head = self.tensor or "s"
         if self.var2 is not None:
-            return f"s({self.var},{self.var2})"
-        return f"s({self.var})"
+            return f"{head}({self.var},{self.var2})"
+        return f"{head}({self.var})"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -114,15 +116,19 @@ def _split_top_level(s: str, sep: str = "+") -> list:
 
 def _parse_smooth(term: str) -> SmoothTerm:
     tree = ast.parse(term, mode="eval").body
-    if not (isinstance(tree, ast.Call) and getattr(tree.func, "id", None) == "s"):
+    fname = getattr(getattr(tree, "func", None), "id", None)
+    if not (isinstance(tree, ast.Call) and fname in ("s", "te", "ti")):
         raise ValueError(f"not a smooth term: {term!r}")
+    tensor = fname if fname in ("te", "ti") else None
     if (
         not 1 <= len(tree.args) <= 2
         or not all(isinstance(a, ast.Name) for a in tree.args)
     ):
         raise ValueError(
-            f"s() takes one or two covariate names (got {term!r})"
+            f"{fname}() takes one or two covariate names (got {term!r})"
         )
+    if tensor and len(tree.args) != 2:
+        raise ValueError(f"{fname}() needs two covariates (got {term!r})")
     var = tree.args[0].id
     var2 = tree.args[1].id if len(tree.args) == 2 else None
     kw = {}
@@ -136,10 +142,16 @@ def _parse_smooth(term: str) -> SmoothTerm:
     bs = kw.get("bs", "tp")
     if bs not in ("tp", "ts", "cr", "cs", "cc", "re", "bs"):
         raise ValueError(f"unsupported basis bs={bs!r} in {term!r}")
-    if var2 is not None and bs not in ("tp", "ts"):
+    if tensor:
+        if bs not in ("tp", "cr", "cs", "cc"):
+            raise ValueError(
+                f"te/ti margins support bs='cr'/'cs'/'cc' (got bs={bs!r} "
+                f"in {term!r})"
+            )
+    elif var2 is not None and bs not in ("tp", "ts"):
         raise ValueError(
-            f"2-d smooths support bs='tp'/'ts' only (got bs={bs!r} in "
-            f"{term!r})"
+            f"2-d s() smooths support bs='tp'/'ts' only (got bs={bs!r} in "
+            f"{term!r}); use te()/ti() for anisotropic tensor products"
         )
     return SmoothTerm(
         var=var,
@@ -148,6 +160,7 @@ def _parse_smooth(term: str) -> SmoothTerm:
         by=kw.get("by"),
         m=int(kw.get("m", 2)),
         var2=var2,
+        tensor=tensor,
     )
 
 
@@ -167,7 +180,10 @@ def parse_formula(formula: str) -> Formula:
         if term in ("0", "-1"):
             intercept = False
             continue
-        if term.startswith("s(") or term.startswith("s ("):
+        if (
+            term.startswith(("s(", "te(", "ti("))
+            or term.startswith(("s (", "te (", "ti ("))
+        ):
             smooths.append(_parse_smooth(term))
         else:
             linear.append(LinearTerm(term))

@@ -106,6 +106,12 @@ class SmoothBasis:
     S: np.ndarray
     col_names: list
 
+    @property
+    def S_list(self) -> list:
+        """Penalty matrices sharing this block's coefficients (one for
+        ordinary smooths; one per margin for tensor products)."""
+        return [self.S]
+
     def eval(self, x_new: np.ndarray) -> np.ndarray:  # pragma: no cover
         raise NotImplementedError
 
@@ -251,11 +257,15 @@ class CRSmooth(SmoothBasis):
     'cs' applies shrinkage to the 1-dim post-centering null space.
     """
 
-    def __init__(self, label, x, k, shrink=False):
+    def __init__(self, label, x, k, shrink=False, center=True, knots=None):
         x = np.asarray(x, float)
+        if knots is not None:
+            knots = np.sort(np.asarray(knots, float))
+            k = len(knots)
         if k < 3:
             raise ValueError("cr basis needs k >= 3")
-        knots = _place_knots(x, k)
+        if knots is None:
+            knots = _place_knots(x, k)
         h = np.diff(knots)
         D = np.zeros((k - 2, k))
         B = np.zeros((k - 2, k - 2))
@@ -272,11 +282,11 @@ class CRSmooth(SmoothBasis):
         S_full = D.T @ Binv_D
 
         X_full = _cr_design(x, knots, F)
-        Z = sum_to_zero_constraint(X_full)
+        Z = sum_to_zero_constraint(X_full) if center else np.eye(k)
         X = X_full @ Z
         S = Z.T @ S_full @ Z
         if shrink:
-            S = shrinkage_penalty(S, null_dim=1)
+            S = shrinkage_penalty(S, null_dim=1 if center else 2)
         self._state = _CRState(knots=knots, F=F, Z=Z)
         super().__init__(
             label=label,
@@ -340,11 +350,15 @@ class CCSmooth(SmoothBasis):
     range modulo the period.
     """
 
-    def __init__(self, label, x, k, shrink=False):
+    def __init__(self, label, x, k, shrink=False, center=True, knots=None):
         x = np.asarray(x, float)
+        if knots is not None:
+            knots = np.sort(np.asarray(knots, float))
+            k = len(knots)
         if k < 4:
             raise ValueError("cc basis needs k >= 4")
-        knots = _place_knots(x, k)
+        if knots is None:
+            knots = _place_knots(x, k)
         K = k - 1  # free values (last knot identified with first)
         h = np.diff(knots)  # (K,) interval widths, h[K-1] closes the loop
 
@@ -367,7 +381,7 @@ class CCSmooth(SmoothBasis):
         S_full = D.T @ F  # D' B^-1 D
 
         X_full = _cc_design(x, knots, F)
-        Z = sum_to_zero_constraint(X_full)
+        Z = sum_to_zero_constraint(X_full) if center else np.eye(K)
         X = X_full @ Z
         S = Z.T @ S_full @ Z
         if shrink:
@@ -508,8 +522,96 @@ class RESmooth(SmoothBasis):
         return self._indicators(np.asarray(x_new))
 
 
-def build_smooth(term, x, is_factor, levels=None) -> SmoothBasis:
-    """Construct the basis named by a SmoothTerm on covariate values x."""
+class TensorSmooth(SmoothBasis):
+    """Tensor-product smooth te/ti of two 1-d margins (mgcv te()/ti()).
+
+    Design = row-wise Kronecker product of the marginal bases; TWO
+    penalties share the block's coefficients (one per margin):
+      S_1 = S_m1 (x) I,   S_2 = I (x) S_m2
+    so each margin gets its own smoothing parameter (scale-variant
+    anisotropic smoothing, unlike the isotropic s(x1, x2)).
+
+    te: margins UNcentered, one joint sum-to-zero constraint absorbed
+        afterwards (k1*k2 - 1 columns).
+    ti: margins individually centered (the interaction-only term;
+        (k1-1)*(k2-1) columns, no joint constraint).
+
+    NOTE (exceeds the reference): the reference's TMB penalty assumes
+    one lambda per coefficient block (nllk_sde.hpp:91-124), so mgcv
+    te/ti terms cannot be fit by the reference at all; here the
+    objective's multi-penalty groups handle them
+    (ops/penalty.py:make_penalty). Use shrinkage margins (bs='cs'/'ts')
+    for a full-rank prior, exactly as for 1-d smooths.
+    """
+
+    def __init__(self, label, x, k1, k2, bs="cs", mode="te"):
+        x = np.asarray(x, float)
+        assert x.ndim == 2 and x.shape[1] == 2
+        center_margins = mode == "ti"
+        self._margins = [
+            _marginal_basis(f"{label}[m{j + 1}]", x[:, j], kj, bs,
+                            center=center_margins)
+            for j, kj in enumerate((k1, k2))
+        ]
+        X1, X2 = (m.X for m in self._margins)
+        p1, p2 = X1.shape[1], X2.shape[1]
+        X_full = _row_kron(X1, X2)
+        S1 = np.kron(self._margins[0].S, np.eye(p2))
+        S2 = np.kron(np.eye(p1), self._margins[1].S)
+        if mode == "te":
+            Z = sum_to_zero_constraint(X_full)
+            X = X_full @ Z
+            S_list = [Z.T @ S1 @ Z, Z.T @ S2 @ Z]
+        else:
+            Z = np.eye(p1 * p2)
+            X = X_full
+            S_list = [S1, S2]
+        self._Z = Z
+        self._mode = mode
+        self._S_list = [0.5 * (S + S.T) for S in S_list]
+        super().__init__(
+            label=label,
+            X=X,
+            S=sum(self._S_list),  # lambda = 1 aggregate (accessor only)
+            col_names=[f"{label}.{i + 1}" for i in range(X.shape[1])],
+        )
+
+    @property
+    def S_list(self):
+        return list(self._S_list)
+
+    def eval(self, x_new):
+        x_new = np.asarray(x_new, float)
+        X1 = self._margins[0].eval(x_new[:, 0])
+        X2 = self._margins[1].eval(x_new[:, 1])
+        return _row_kron(X1, X2) @ self._Z
+
+
+def _row_kron(A, B):
+    """Row-wise Kronecker (face-splitting) product: (n, p1*p2) with
+    column index i1*p2 + i2."""
+    n = A.shape[0]
+    return (A[:, :, None] * B[:, None, :]).reshape(n, -1)
+
+
+def _marginal_basis(label, x, k, bs, center):
+    if bs in ("cr", "cs"):
+        return CRSmooth(label, x, k, shrink=(bs == "cs"), center=center)
+    if bs == "cc":
+        return CCSmooth(label, x, k, center=center)
+    raise ValueError(
+        f"tensor-product margins support bs='cr'/'cs'/'cc' (got {bs!r})"
+    )
+
+
+def build_smooth(term, x, is_factor, levels=None, knots=None) -> SmoothBasis:
+    """Construct the basis named by a SmoothTerm on covariate values x.
+
+    knots: optional explicit knot locations for cr/cs/cc (sets the
+    basis dimension and, for cc, the period — e.g. knots=[0, ..., 24]
+    for a 24 h cycle; mgcv's gam(knots=...) passthrough, which the
+    reference cannot forward, R/sde.R:396-398).
+    """
     bs = term.bs
     label = term.label
     if bs == "re":
@@ -518,14 +620,21 @@ def build_smooth(term, x, is_factor, levels=None) -> SmoothBasis:
         raise ValueError(
             f"smooth of factor {term.var!r} requires bs='re'"
         )
+    if getattr(term, "tensor", None):
+        k_marg = term.k if term.k > 0 else 5  # mgcv te default per margin
+        return TensorSmooth(
+            label, x, k_marg, k_marg,
+            bs=bs if bs not in ("tp", "ts") else "cs",
+            mode=term.tensor,
+        )
     two_d = np.asarray(x).ndim == 2 and np.asarray(x).shape[1] == 2
     k = term.k if term.k > 0 else (30 if two_d else 10)  # mgcv defaults
     if bs in ("tp", "ts"):
         return TPSmooth(label, x, k, shrink=(bs == "ts"))
     if bs in ("cr", "cs"):
-        return CRSmooth(label, x, k, shrink=(bs == "cs"))
+        return CRSmooth(label, x, k, shrink=(bs == "cs"), knots=knots)
     if bs == "cc":
-        return CCSmooth(label, x, k)
+        return CCSmooth(label, x, k, knots=knots)
     if bs == "bs":
         return BSSmooth(label, x, k)
     raise ValueError(f"unknown basis {bs!r}")

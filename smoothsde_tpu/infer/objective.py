@@ -101,7 +101,7 @@ def build_objective(
     re_off = np.concatenate([[0], np.cumsum(ncol_re_per_param)]).astype(int)
     p_fe = int(fe_off[-1])
     p_re = int(re_off[-1])
-    n_smooth = len(design.ncol_re)
+    n_smooth = getattr(design, "n_lambda", len(design.ncol_re))
     has_re = p_re > 0
 
     obs_j = jnp.asarray(obs, float)
@@ -441,7 +441,8 @@ def build_objective(
 
     # ---- penalty ----
     penalty = make_penalty(
-        design.S_blocks, normalize=(spec.kind == "closed_form")
+        getattr(design, "S_groups", design.S_blocks),
+        normalize=(spec.kind == "closed_form"),
     )
 
     def joint_nllk(full):

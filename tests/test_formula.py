@@ -271,3 +271,88 @@ class TestTwoDAndCyclic:
 
         with pytest.raises(ValueError):
             parse_formula("~s(x1, x2, bs='cr')")
+
+
+class TestTensorSmooths:
+    def _data(self, n=500, seed=11):
+        rng = np.random.default_rng(seed)
+        return {
+            "x": rng.uniform(0, 1, n),
+            "z": rng.uniform(0, 1, n),
+        }
+
+    def test_te_shapes_and_eval(self):
+        data = self._data()
+        d = build_design(
+            {"mu": "~te(x, z, k=4, bs='cs')", "sigma": "~1"}, data
+        )
+        fd = d.per_param["mu"]
+        assert fd.X_re.shape[1] == 15  # 4*4 - 1 joint centering
+        assert len(fd.S_groups[0]) == 2  # one penalty per margin
+        assert d.n_lambda == 2
+        assert d.lambda_labels == ["mu.te(x,z)[m1]", "mu.te(x,z)[m2]"]
+        sub = {k: np.asarray(v)[:20] for k, v in data.items()}
+        ev = d.eval(ColumnData(sub))
+        assert np.allclose(ev.re_blocks[0], fd.X_re[:20])
+
+    def test_ti_shapes(self):
+        data = self._data()
+        d = build_design(
+            {"mu": "~ti(x, z, k=4, bs='cs')", "sigma": "~1"}, data
+        )
+        fd = d.per_param["mu"]
+        assert fd.X_re.shape[1] == 9  # (4-1)*(4-1), margins centered
+        assert len(fd.S_groups[0]) == 2
+
+    def test_te_penalties_act_per_margin(self):
+        """A function of x alone must have (near-)zero energy under the
+        z-margin penalty relative to the x-margin penalty (shrinkage eps
+        aside) and vice versa — the anisotropy te exists for."""
+        data = self._data(n=400)
+        d = build_design(
+            {"mu": "~te(x, z, k=5, bs='cs')", "sigma": "~1"}, data
+        )
+        fd = d.per_param["mu"]
+        S1, S2 = fd.S_groups[0]
+        X = fd.X_re
+        fx = np.sin(2 * np.pi * np.asarray(data["x"]))
+        fx -= fx.mean()
+        coef, *_ = np.linalg.lstsq(X, fx, rcond=None)
+        e1 = coef @ S1 @ coef
+        e2 = coef @ S2 @ coef
+        assert e1 > 20 * e2, (e1, e2)  # wiggly in x, flat in z
+        fz = np.sin(2 * np.pi * np.asarray(data["z"]))
+        fz -= fz.mean()
+        coef, *_ = np.linalg.lstsq(X, fz, rcond=None)
+        assert coef @ S2 @ coef > 20 * (coef @ S1 @ coef)
+
+    def test_te_penalty_matrices_spd_with_shrinkage(self):
+        data = self._data()
+        d = build_design(
+            {"mu": "~te(x, z, k=4, bs='cs')", "sigma": "~1"}, data
+        )
+        S1, S2 = d.per_param["mu"].S_groups[0]
+        w = np.linalg.eigvalsh(S1 + S2)
+        assert w.min() > 0  # proper prior for the multi-penalty block
+
+    def test_user_knots_set_cc_period(self):
+        """SDE(knots={'hour': linspace(0, 24, k)}) pins the cyclic
+        period to [0, 24] regardless of the data range (mgcv
+        gam(knots=...) passthrough; the reference cannot forward this,
+        R/sde.R:396-398)."""
+        from smoothsde_tpu.formula.smooths import CCSmooth
+
+        rng = np.random.default_rng(3)
+        x = rng.uniform(2, 22, 100)
+        sm = CCSmooth("s(hour)", x, k=6, knots=np.linspace(0, 24, 6))
+        X0 = sm.eval(np.array([0.0, 3.3, 17.2]))
+        X24 = sm.eval(np.array([24.0, 27.3, 41.2]))
+        np.testing.assert_allclose(X0, X24, atol=1e-10)
+
+    def test_user_knots_cr_dimension(self):
+        from smoothsde_tpu.formula.smooths import CRSmooth
+
+        rng = np.random.default_rng(4)
+        x = rng.uniform(0, 1, 60)
+        sm = CRSmooth("s(x)", x, k=10, knots=[0.0, 0.2, 0.5, 0.8, 1.0])
+        assert sm.X.shape[1] == 4  # len(knots) - 1 after centering

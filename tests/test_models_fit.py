@@ -351,3 +351,47 @@ class TestSmoothedStatesAPI:
         err_obs = np.mean((obs[10:] - lat[10:]) ** 2)
         assert err_smooth < err_obs * 0.8
         assert np.all(covs[0, 10:, 0, 0] > 0)
+
+
+class TestTensorSmoothFit:
+    def test_bm_te_fit_recovers_anisotropic_surface(self):
+        """BM with sigma = te(x, z): the true surface depends on x only;
+        the fit must recover it and shrink the z margin (its lambda
+        larger). Exercises the multi-penalty group path (one lambda per
+        margin over shared coefficients) end to end — a capability the
+        reference's one-lambda-per-block TMB penalty cannot express."""
+        rng = np.random.default_rng(21)
+        n = 800
+        dt = 0.5
+        x = rng.uniform(0, 1, n)
+        zc = rng.uniform(0, 1, n)
+        sig = np.exp(0.4 * np.sin(2 * np.pi * x[:-1]))
+        incr = sig * np.sqrt(dt) * rng.normal(size=n - 1)
+        path = np.concatenate([[0.0], np.cumsum(incr)])
+        data = {
+            "ID": np.zeros(n, int), "time": np.arange(n) * dt,
+            "z": path, "x": x, "zc": zc,
+        }
+        sde = SDE(
+            data=data, type="BM", response="z",
+            formulas={"mu": "~1", "sigma": "~te(x, zc, k=4, bs='cs')"},
+            par0=[0.0, 1.0],
+        )
+        res = sde.fit()
+        assert res.convergence == 0
+        assert len(sde.lambda_()) == 2
+        # fitted surface vs truth along x at fixed zc
+        grid = {
+            "ID": np.zeros(40, int), "time": np.linspace(0, 100, 40),
+            "x": np.linspace(0.05, 0.95, 40), "zc": np.full(40, 0.5),
+            "z": np.zeros(40),
+        }
+        est = sde.par(new_data=grid)[:, 1]
+        truth = np.exp(0.4 * np.sin(2 * np.pi * grid["x"]))
+        assert np.max(np.abs(est - truth) / truth) < 0.35
+        # flat along zc
+        grid2 = dict(grid)
+        grid2["x"] = np.full(40, 0.3)
+        grid2["zc"] = np.linspace(0.05, 0.95, 40)
+        est2 = sde.par(new_data=grid2)[:, 1]
+        assert est2.std() / est2.mean() < 0.15
