@@ -28,7 +28,7 @@ from smoothsde_tpu.formula.design import ColumnData, build_design
 from smoothsde_tpu.formula.parser import parse_formula
 from smoothsde_tpu.models.registry import get_model_spec, model_eqn
 from smoothsde_tpu.utils.grids import cov_grid
-from smoothsde_tpu.utils.misc import prec_to_cov, term_indices
+from smoothsde_tpu.utils.misc import prec_to_cov
 
 
 class SDE:
@@ -129,6 +129,8 @@ class SDE:
             "names_fe": list(self._design.names_fe),
             "names_re_all": list(self._design.names_re),
             "names_re": list(self._design.ncol_re_names),
+            "fe_col_terms": list(self._design.fe_col_terms),
+            "re_col_terms": list(self._design.re_col_terms),
         }
 
         # initial coefficients (R/sde.R:138-160)
@@ -343,7 +345,7 @@ class SDE:
     # ------------------------------------------------------------------
 
     def setup(self, map=None, kalman_impl: str = "auto", mesh=None,
-              mesh_axis: str = "tracks"):
+              mesh_axis: str = "tracks", reml: bool = False):
         """Build the objective bundle (TMB MakeADFun equivalent).
 
         With `mesh` (a jax.sharding.Mesh), the likelihood is evaluated
@@ -365,6 +367,7 @@ class SDE:
             "log_decay": np.log(self._rho),
         }
         self._kalman_impl = kalman_impl
+        self._reml = reml
         self._bundle = build_objective(
             self._spec,
             self._design,
@@ -378,6 +381,7 @@ class SDE:
             kalman_impl=kalman_impl,
             mesh=mesh,
             mesh_axis=mesh_axis,
+            reml=reml,
         )
         return self._bundle
 
@@ -395,18 +399,30 @@ class SDE:
         )
         return float(b.joint_nllk(full))
 
-    def fit(self, silent: bool = True, map=None, mesh=None, **kwargs):
+    def fit(self, silent: bool = True, map=None, mesh=None,
+            criterion: str = "ML", **kwargs):
         """Fit by marginal maximum likelihood (R/sde.R:683-720).
 
         `mesh`: optional jax.sharding.Mesh — fit with the likelihood
-        track-sharded across devices (see `setup`)."""
+        track-sharded across devices (see `setup`).
+        `criterion`: "ML" (the reference's criterion) or "REML" — the
+        fixed-effect coefficients are integrated out alongside the
+        smooth coefficients (TMB's random=c("coeff_fe", "coeff_re")
+        REML construction; reduces smoothing-parameter bias)."""
         from smoothsde_tpu.infer.fit import fit_model
 
+        if criterion not in ("ML", "REML"):
+            raise ValueError("criterion must be 'ML' or 'REML'")
+        reml = criterion == "REML"
         if not silent:
             self.message()
-        if self._bundle is None or mesh is not None:
+        if (
+            self._bundle is None
+            or mesh is not None
+            or getattr(self, "_reml", False) != reml
+        ):
             self.setup(map=map, mesh=mesh,
-                       kalman_impl=self._kalman_impl)
+                       kalman_impl=self._kalman_impl, reml=reml)
         res = fit_model(self._bundle, verbose=not silent, **kwargs)
         self._fit_result = res
 
@@ -422,6 +438,44 @@ class SDE:
     # ------------------------------------------------------------------
     # Parameters (R/sde.R:722-856)
     # ------------------------------------------------------------------
+
+    def _term_cols(self, term: str):
+        """Structured term subsetting: FE/RE column indices whose
+        generating term matches `term`.
+
+        A column matches when `term` equals its term label
+        ("s(x1)", "x2", "state", "(Intercept)"), its
+        parameter-qualified label ("sigma.s(x1)"), or the label is a
+        factor-by level of it ("s(x1):sexF" matches term "s(x1)").
+        Replaces the reference's substring matching on coefficient
+        names (utility.R:137-144) with the design layer's structured
+        metadata (SURVEY "What NOT to carry over").
+        """
+
+        def match(param, label):
+            return (
+                term == label
+                or term == f"{param}.{label}"
+                or label.startswith(term + ":")
+            )
+
+        fe = np.array(
+            [
+                i
+                for i, (p, lab) in enumerate(self._terms["fe_col_terms"])
+                if match(p, lab)
+            ],
+            int,
+        )
+        re_ = np.array(
+            [
+                i
+                for i, (p, lab) in enumerate(self._terms["re_col_terms"])
+                if match(p, lab)
+            ],
+            int,
+        )
+        return {"fe": fe, "re": re_}
 
     def _resolve_design(self, new_data=None, X_fe=None, X_re=None):
         if X_fe is None or X_re is None:
@@ -446,9 +500,7 @@ class SDE:
         cfe = self._coeff_fe if coeff_fe is None else np.asarray(coeff_fe)
         cre = self._coeff_re if coeff_re is None else np.asarray(coeff_re)
         if term is not None:
-            ti = term_indices(
-                self._terms["names_fe"], self._terms["names_re_all"], term
-            )
+            ti = self._term_cols(term)
             cfe_t = np.zeros_like(cfe)
             cre_t = np.zeros_like(cre)
             cfe_t[ti["fe"]] = cfe[ti["fe"]]
@@ -651,9 +703,7 @@ class SDE:
             self._coeff_re if post["coeff_re"].shape[1] else 0.0
         )
         if term is not None:
-            ti = term_indices(
-                self._terms["names_fe"], self._terms["names_re_all"], term
-            )
+            ti = self._term_cols(term)
             keep_fe = np.zeros(diff_fe.shape[1], bool)
             keep_fe[ti["fe"]] = True
             diff_fe = diff_fe * keep_fe

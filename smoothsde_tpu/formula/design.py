@@ -154,10 +154,11 @@ class FormulaDesign:
         self._factors: Dict[str, _FactorInfo] = {}
 
         # ---- parametric part (X_fe) ----
-        fe_cols, fe_names = [], []
+        fe_cols, fe_names, fe_terms = [], [], []
         if formula.intercept:
             fe_cols.append(np.ones(data.n))
             fe_names.append("(Intercept)")
+            fe_terms.append("(Intercept)")
         for term in formula.linear_terms:
             expr = term.expr
             if expr in data.columns and data.is_factor(expr):
@@ -168,13 +169,20 @@ class FormulaDesign:
                 for lv in levels[1:]:
                     fe_cols.append((vals == lv).astype(float))
                     fe_names.append(f"{expr}{lv}")
+                    fe_terms.append(expr)
             else:
                 fe_cols.append(_eval_expr(expr, data))
                 fe_names.append(expr)
+                fe_terms.append(expr)
         self.X_fe = (
             np.column_stack(fe_cols) if fe_cols else np.zeros((data.n, 0))
         )
         self.names_fe = fe_names
+        # structured term label per FE column (the generating formula
+        # term: "(Intercept)", an expression, or the factor name) —
+        # replaces the reference's substring matching on coefficient
+        # names (utility.R:137-144, SURVEY "What NOT to carry over")
+        self.fe_term_labels = fe_terms
 
         # ---- smooth part (X_re) ----
         self.blocks: List[SmoothBlock] = []
@@ -332,6 +340,26 @@ class DesignMatrices:
             f"{p}.{n}"
             for p in self.param_names
             for n in self.per_param[p].names_re
+        ]
+
+    @property
+    def fe_col_terms(self) -> List[tuple]:
+        """(param, term_label) per FE column — structured metadata for
+        term subsetting (replaces substring matching on names)."""
+        return [
+            (p, lab)
+            for p in self.param_names
+            for lab in self.per_param[p].fe_term_labels
+        ]
+
+    @property
+    def re_col_terms(self) -> List[tuple]:
+        """(param, block_label) per RE column."""
+        return [
+            (p, blk.label)
+            for p in self.param_names
+            for blk in self.per_param[p].blocks
+            for _ in blk.col_names
         ]
 
     @property

@@ -54,7 +54,13 @@ def fit_model(
     fd_step: float = 1e-4,
     verbose: bool = False,
     profile_dir: Optional[str] = None,
+    optimizer: str = "scipy",
 ) -> FitResult:
+    """optimizer: 'scipy' (host BFGS over device fn/gr, the reference's
+    optim(BFGS) shape, R/sde.R:694-697) or 'device' (on-device L-BFGS,
+    infer/lbfgs.py — the whole outer loop in one dispatch; pays off
+    when per-eval host<->device latency dominates, i.e. small/medium
+    models over a remote TPU)."""
     from scipy import optimize
 
     from smoothsde_tpu.utils.profiling import StageTimer, xla_trace
@@ -68,9 +74,53 @@ def fit_model(
 
     x0 = packer.outer_init()
     b_warm = jnp.asarray(packer.inner_init())
+    if len(x0) == 0:
+        # everything is integrated out (e.g. REML with no free
+        # variance parameters): a single marginal evaluation is the fit
+        (v, b), _ = jax.jit(jax.value_and_grad(marginal, has_aux=True))(
+            jnp.zeros((0,)), b_warm
+        )
+        return FitResult(
+            par=np.zeros(0), par_names=[], value=float(v),
+            convergence=0, counts={"function": 1, "gradient": 1},
+            systime=0.0, message="no outer parameters",
+            bhat=np.asarray(b), inner_names=packer.inner_names(),
+        )
 
     cache = {}
     timer = StageTimer()
+
+    if optimizer == "device":
+        from smoothsde_tpu.infer.lbfgs import device_lbfgs
+
+        run = jax.jit(
+            lambda x, b: device_lbfgs(marginal, x, b, maxiter=maxiter)
+        )
+        t0 = time.time()
+        with timer.stage("device_lbfgs"):
+            r = run(jnp.asarray(x0), b_warm)
+            jax.block_until_ready(r.x)
+        systime = time.time() - t0
+        out = FitResult(
+            par=np.asarray(r.x, float),
+            par_names=packer.outer_names(),
+            value=float(r.f),
+            convergence=int(not bool(r.converged)),
+            counts={
+                "function": int(r.n_evals),
+                "gradient": int(r.n_iter) + 1,
+            },
+            systime=systime,
+            message=f"device L-BFGS: {int(r.n_iter)} iterations",
+            bhat=np.asarray(r.b),
+            inner_names=packer.inner_names(),
+        )
+        if compute_sdreport:
+            _sdreport(
+                out, bundle, packer, val_grad, fd_step, timer,
+            )
+        out.timings = timer.summary()
+        return out
 
     def eval_at(x):
         nonlocal b_warm
@@ -189,25 +239,48 @@ def fit_model(
         out.timings = timer.summary()
         return out
 
+    _sdreport(out, bundle, packer, val_grad, fd_step, timer)
+    out.timings = timer.summary()
+    return out
+
+
+def _sdreport(out, bundle, packer, val_grad, fd_step, timer):
+    """Outer Hessian + joint precision (sdreport equivalent,
+    R/sde.R:702-704), written onto `out` in place."""
+    x_hat = np.asarray(out.par, float)
+    b_hat = np.asarray(out.bhat)
+
     # ---- outer Hessian: central differences of the exact gradient ----
     # (TMB/optimHess strategy; exact second-order AD is unavailable
-    # through the custom_vjp inner solver.) Reuses the already-compiled
-    # val_grad — a separate grad-only jit would recompile the whole
-    # marginal graph.
+    # through the custom_vjp inner solver.) All 2*n_out gradient
+    # evaluations run inside ONE jitted lax.map dispatch — a per-point
+    # host loop costs a full host<->device round trip each (~25-30 ms
+    # through a remote-TPU tunnel), which dominated sdreport at larger
+    # n_out.
     n_out = len(x_hat)
-    H = np.zeros((n_out, n_out))
     b_hat_j = jnp.asarray(b_hat)
+    hs = fd_step * np.maximum(1.0, np.abs(x_hat))
+    pts = np.concatenate(
+        [
+            x_hat[None, :] + np.diag(hs),
+            x_hat[None, :] - np.diag(hs),
+        ],
+        axis=0,
+    )  # (2*n_out, n_out)
 
-    def _grad_at(x):
-        (_, _), g = val_grad(jnp.asarray(x), b_hat_j)
-        return np.asarray(g)
+    def _grads_at(xs):
+        def one(x):
+            (_, _), g = val_grad(x, b_hat_j)
+            return g
+
+        return jax.lax.map(one, xs)
 
     with timer.stage("outer_hessian_fd"):
-        for i in range(n_out):
-            h = fd_step * max(1.0, abs(x_hat[i]))
-            xp = x_hat.copy(); xp[i] += h
-            xm = x_hat.copy(); xm[i] -= h
-            H[i] = (_grad_at(xp) - _grad_at(xm)) / (2 * h)
+        if n_out:
+            G = np.asarray(jax.jit(_grads_at)(jnp.asarray(pts)))
+            H = (G[:n_out] - G[n_out:]) / (2.0 * hs[:, None])
+        else:
+            H = np.zeros((0, 0))
     H_marg = 0.5 * (H + H.T)
     out.H_marg = H_marg
     from smoothsde_tpu.utils.misc import prec_to_cov
@@ -247,5 +320,4 @@ def fit_model(
         Q = np.block([[top_left, J_tb], [J_tb.T, J_bb]])
         out.joint_precision = 0.5 * (Q + Q.T)
         out.joint_names = packer.outer_names() + packer.inner_names()
-    out.timings = timer.summary()
     return out

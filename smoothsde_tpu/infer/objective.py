@@ -84,6 +84,7 @@ def build_objective(
     kalman_impl: str = "auto",
     mesh=None,
     mesh_axis: str = "tracks",
+    reml: bool = False,
 ) -> ObjectiveBundle:
     other_data = dict(other_data or {})
     fixpar = list(fixpar or [])
@@ -205,7 +206,12 @@ def build_objective(
         ParamBlock("coeff_re", _init("coeff_re", max(p_re, 1)), cre_fixed)
     )
 
-    packer = ParamPacker(blocks, inner="coeff_re")
+    # REML: integrate the fixed-effect coefficients out alongside the
+    # smooth coefficients (TMB's documented REML construction,
+    # random=c("coeff_fe", "coeff_re"); the reference only exposes ML,
+    # R/sde.R:656-658).
+    inner_blocks = ("coeff_fe", "coeff_re") if reml else "coeff_re"
+    packer = ParamPacker(blocks, inner=inner_blocks)
 
     # ---- linear predictor ----
     def par_matrix(full):

@@ -25,25 +25,32 @@ class ParamBlock:
 
 
 class ParamPacker:
-    def __init__(self, blocks: List[ParamBlock], inner: str = "coeff_re"):
+    """inner: one block name, or a tuple of names — every free entry of
+    an inner block is integrated out by the Laplace approximation
+    (TMB's `random=` vector; `random=c("coeff_fe", "coeff_re")` is the
+    TMB-documented REML construction)."""
+
+    def __init__(self, blocks: List[ParamBlock], inner="coeff_re"):
         self.blocks = {b.name: b for b in blocks}
         self.order = [b.name for b in blocks]
-        self.inner = inner
+        inner_names = (inner,) if isinstance(inner, str) else tuple(inner)
+        self.inner = inner_names[0] if len(inner_names) == 1 else inner_names
+        self._inner_set = set(inner_names)
 
         self._outer_index = []  # (block, idx) pairs in outer-vector order
+        self._inner_index = []  # (block, idx) pairs in inner-vector order
         for name in self.order:
-            if name == inner:
-                continue
             b = self.blocks[name]
+            target = (
+                self._inner_index
+                if name in self._inner_set
+                else self._outer_index
+            )
             for i in range(len(b.init)):
                 if not b.fixed[i]:
-                    self._outer_index.append((name, i))
-        inner_b = self.blocks.get(inner)
-        self._inner_free = (
-            ~inner_b.fixed if inner_b is not None else np.zeros(0, bool)
-        )
+                    target.append((name, i))
         self.n_outer = len(self._outer_index)
-        self.n_inner = int(self._inner_free.sum()) if inner_b is not None else 0
+        self.n_inner = len(self._inner_index)
 
     # -- names --------------------------------------------------------------
 
@@ -51,7 +58,7 @@ class ParamPacker:
         return [name for name, _ in self._outer_index]
 
     def inner_names(self) -> List[str]:
-        return [self.inner] * self.n_inner
+        return [name for name, _ in self._inner_index]
 
     # -- packing ------------------------------------------------------------
 
@@ -61,38 +68,35 @@ class ParamPacker:
         )
 
     def inner_init(self) -> np.ndarray:
-        b = self.blocks.get(self.inner)
-        if b is None:
-            return np.zeros(0)
-        return np.asarray(b.init, float)[self._inner_free]
+        return np.array(
+            [self.blocks[n].init[i] for n, i in self._inner_index], float
+        )
 
     def unpack(self, outer, inner=None) -> Dict[str, jnp.ndarray]:
         """Build the full named parameter dict from flat free vectors,
         injecting fixed entries as constants."""
         outer = jnp.asarray(outer)
         full: Dict[str, jnp.ndarray] = {}
-        # scatter outer entries
         per_block_idx: Dict[str, list] = {n: [] for n in self.order}
         for pos, (name, i) in enumerate(self._outer_index):
-            per_block_idx[name].append((i, pos))
+            per_block_idx[name].append((i, pos, "outer"))
+        if inner is not None:
+            inner = jnp.asarray(inner)
+            for pos, (name, i) in enumerate(self._inner_index):
+                per_block_idx[name].append((i, pos, "inner"))
         for name in self.order:
             b = self.blocks[name]
             base = jnp.asarray(b.init, outer.dtype)
-            if name == self.inner:
-                if inner is None:
-                    full[name] = base
-                else:
-                    inner = jnp.asarray(inner)
-                    idx = np.where(self._inner_free)[0]
-                    full[name] = base.at[idx].set(inner)
-                continue
-            pairs = per_block_idx[name]
-            if pairs:
-                idx = np.array([i for i, _ in pairs])
-                pos = np.array([p for _, p in pairs])
-                full[name] = base.at[idx].set(outer[pos])
-            else:
-                full[name] = base
+            for src in ("outer", "inner"):
+                pairs = [
+                    (i, p) for i, p, tag in per_block_idx[name] if tag == src
+                ]
+                if pairs:
+                    idx = np.array([i for i, _ in pairs])
+                    pos = np.array([p for _, p in pairs])
+                    vec = outer if src == "outer" else inner
+                    base = base.at[idx].set(vec[pos])
+            full[name] = base
         return full
 
     def split_estimates(self, outer, inner=None) -> Dict[str, np.ndarray]:

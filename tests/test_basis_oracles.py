@@ -318,7 +318,7 @@ def test_tp_penalty_equals_bending_energy_integral():
     xdat = np.sort(rng.uniform(0.0, 2.0, size=40))
     sm = TPSmooth("s(x)", xdat, k=7)
     st = sm._state
-    us = (st.knots - st.shift) / st.scale
+    us = ((st.knots - st.shift) / st.scale).ravel()  # knots are (K, d)
 
     for trial in range(3):
         z = rng.normal(size=sm.X.shape[1])

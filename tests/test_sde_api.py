@@ -392,3 +392,48 @@ class TestMiscParity:
         assert sp.issparse(mats["X_fe"]) and sp.issparse(mats["X_re"])
         dense = small_fit.make_mat()
         assert np.allclose(mats["X_re"].toarray(), dense["X_re"])
+
+
+class TestREML:
+    def test_reml_fit_matches_ml_closely(self):
+        """criterion='REML' integrates the FE coefficients out
+        (TMB random=c('coeff_fe','coeff_re') construction — the
+        reference exposes ML only, R/sde.R:656-658). On a well-
+        identified smooth model the two criteria agree closely on the
+        response-scale curves; REML's packer moves coeff_fe into the
+        inner (Laplace) vector."""
+        rng = np.random.default_rng(31)
+        n = 800
+        dt = 0.5
+        x = rng.uniform(0, 1, n)
+        sig = np.exp(0.4 * np.sin(2 * np.pi * x[:-1]))
+        z = np.concatenate(
+            [[0.0], np.cumsum(0.2 * dt + sig * np.sqrt(dt)
+                              * rng.normal(size=n - 1))]
+        )
+        data = {"ID": np.zeros(n, int), "time": np.arange(n) * dt,
+                "z": z, "x": x}
+
+        def make():
+            return SDE(
+                data=data, type="BM", response="z",
+                formulas={"mu": "~1", "sigma": "~s(x, k=6, bs='cs')"},
+                par0=[0.0, 1.0],
+            )
+
+        m_ml = make()
+        r_ml = m_ml.fit()
+        m_reml = make()
+        r_reml = m_reml.fit(criterion="REML")
+        assert r_ml.convergence == 0 and r_reml.convergence == 0
+        assert "coeff_fe" not in r_reml.par_names
+        assert "coeff_fe" in r_reml.inner_names
+        assert "log_lambda" in r_reml.par_names
+
+        grid = {"ID": np.zeros(20, int), "time": np.zeros(20),
+                "z": np.zeros(20), "x": np.linspace(0.1, 0.9, 20)}
+        p_ml = m_ml.par(new_data=grid)[:, 1]
+        p_reml = m_reml.par(new_data=grid)[:, 1]
+        truth = np.exp(0.4 * np.sin(2 * np.pi * grid["x"]))
+        assert np.max(np.abs(p_reml - truth) / truth) < 0.3
+        assert np.max(np.abs(p_reml - p_ml) / p_ml) < 0.15

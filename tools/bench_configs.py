@@ -192,19 +192,24 @@ def main():
     import jax
 
     cfg = sys.argv[1]
+    optimizer = sys.argv[2] if len(sys.argv) > 2 else "scipy"
     builders = {
         "1": config1, "2": config2, "3": config3, "4": config4,
         "5a": config5_ctcrw, "5b": config5_cir,
     }
     sde, truth = builders[cfg]()
     t0 = time.time()
-    res = sde.fit()
+    res = sde.fit(optimizer=optimizer)
     wall = time.time() - t0
-    steady = res.timings["marginal_nllk_grad"]["steady_s"]
-    first = res.timings["marginal_nllk_grad"]["first_s"]
+    timings = res.timings.get(
+        "marginal_nllk_grad", res.timings.get("device_lbfgs", {})
+    )
+    steady = timings.get("steady_s", 0.0)
+    first = timings.get("first_s", 0.0)
     out = {
         "config": cfg if len(cfg) > 1 else int(cfg),
         "backend": jax.default_backend(),
+        "optimizer": optimizer,
         "n_obs": sde.n_obs(),
         "converged": res.convergence == 0,
         "nllk": round(res.value, 3),
