@@ -213,16 +213,27 @@ def fit_model(
         # likelihood terms (roundoff ~ eps * sum_i |term_i|), which
         # |nllk| does not measure when terms cancel — at 1M steps the
         # reported gradient can be hundreds of units of pure noise at
-        # the true optimum. Decide empirically: measure the directional
-        # derivative along the reported gradient with a central
-        # difference of the value. A real slope reproduces |g|; noise
-        # does not.
+        # the true optimum. Decide empirically:
+        #   (a) the directional derivative along the reported gradient
+        #       (central difference) — a real slope reproduces |g|;
+        #   (b) descent probes along -g at two step sizes — if no probe
+        #       improves the value beyond the dtype noise floor, the
+        #       optimizer is at the achievable optimum regardless of
+        #       what the noisy FD slope says (the slope test itself is
+        #       noise / (2h)-limited and flags false slopes for
+        #       objectives of ~1e5 magnitude).
         gnorm = float(np.linalg.norm(g_hat))
         if gnorm > 0:
             u = np.asarray(g_hat) / gnorm
             h = 1e-2
             d = (safe_fun(x_hat + h * u) - safe_fun(x_hat - h * u)) / (2 * h)
             converged = bool(abs(d) < 0.3 * gnorm)
+            if not converged:
+                noise = (1e-5 if f32 else 1e-10) * (1.0 + abs(v_hat))
+                best = min(
+                    safe_fun(x_hat - hh * u) for hh in (1e-3, 1e-2, 3e-2)
+                )
+                converged = bool(v_hat - best <= noise)
 
     out = FitResult(
         par=x_hat,

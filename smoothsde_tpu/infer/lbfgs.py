@@ -151,10 +151,29 @@ def device_lbfgs(marginal, x0, b0, m: int = 10, maxiter: int = 200,
         k_best = jnp.where(
             jnp.any(suff), jnp.argmin(fs_arm), jnp.argmin(fs)
         )
-        x_new = cand[k_best]
-        f_new = fs[k_best]
-        g_new = gs[k_best]
-        b_new = jax.tree.map(lambda a: a[k_best], bs)
+        # one parabolic refinement around the best grid point: the
+        # quadratic through (0, f), (a, f_a), (2a, f_2a-from-grid or a
+        # second probe) — here use the exact directional model
+        # f(t) ~ f + t*dg + c t^2 fitted at t = a_best, minimized at
+        # t* = -dg a^2 / (2 (f_a - f - dg a)); grid coarseness between
+        # neighbors otherwise caps the per-iteration decrease.
+        a_b = alphas[k_best]
+        f_b = fs[k_best]
+        denom = 2.0 * (f_b - st.f - dg * a_b)
+        t_star = jnp.where(
+            (denom > 0) & (a_b > 0),
+            -dg * a_b * a_b / denom,
+            a_b,
+        )
+        t_star = jnp.clip(t_star, 0.0, 2.0 * jnp.max(alphas))
+        f_r, g_r, b_r = vg(st.x + t_star * d, st.b)
+        use_r = f_r < f_b
+        x_new = jnp.where(use_r, st.x + t_star * d, cand[k_best])
+        f_new = jnp.where(use_r, f_r, f_b)
+        g_new = jnp.where(use_r, g_r, gs[k_best])
+        b_new = jax.tree.map(
+            lambda rr, kk: jnp.where(use_r, rr, kk[k_best]), b_r, bs
+        )
 
         s = x_new - st.x
         y = g_new - st.g
@@ -169,7 +188,7 @@ def device_lbfgs(marginal, x0, b0, m: int = 10, maxiter: int = 200,
         head = jnp.where(ok_pair, (st.head + 1) % m, st.head)
         return State(
             x=x_new, f=f_new, g=g_new, b=b_new, S=S, Y=Y, rho=rho,
-            head=head, k=st.k + 1, evals=st.evals + len(_ALPHAS),
+            head=head, k=st.k + 1, evals=st.evals + len(_ALPHAS) + 1,
             progress=st.f - f_new,
         )
 
