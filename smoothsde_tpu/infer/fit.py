@@ -69,6 +69,7 @@ def fit_model(
     marginal = make_laplace(
         bundle.joint_nllk, packer,
         joint_nllk_ad=getattr(bundle, "joint_nllk_ad", None),
+        hess_plan=getattr(bundle, "hess_plan", None),
     )
     val_grad = jax.jit(jax.value_and_grad(marginal, has_aux=True))
 

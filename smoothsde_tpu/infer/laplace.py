@@ -42,6 +42,7 @@ def make_laplace(
     packer,
     config: LaplaceConfig = LaplaceConfig(),
     joint_nllk_ad: Optional[Callable] = None,
+    hess_plan: Optional[dict] = None,
 ):
     """Build (marginal_nllk, bhat_solver) for a packed objective.
 
@@ -75,7 +76,16 @@ def make_laplace(
             return joint_nllk_ad(packer.unpack(outer, b))
 
     grad_b = jax.grad(f_ad, argnums=1)
-    hess_b = jax.jacfwd(grad_b, argnums=1)
+    if hess_plan is not None:
+        # compressed (colored) Hessian: one forward pass per color
+        # instead of one per coefficient (infer/coloring.py) — exact
+        # by construction, the plan builder rejects any structure it
+        # cannot reconstruct.
+        from smoothsde_tpu.infer.coloring import colored_hessian
+
+        hess_b = colored_hessian(grad_b, hess_plan)
+    else:
+        hess_b = jax.jacfwd(grad_b, argnums=1)
     eye = jnp.eye(n_inner)
     alphas = jnp.asarray(_ALPHAS)
 

@@ -65,6 +65,7 @@ class ObjectiveBundle:
     n_obs: int
     joint_nllk_ad: Optional[Callable] = None  # forward-mode-capable
     innovations: Optional[Callable] = None  # SSMs: fn(full) -> (u, F, ok)
+    hess_plan: Optional[dict] = None  # colored inner-Hessian plan
 
     def __post_init__(self):
         if self.joint_nllk_ad is None:
@@ -474,6 +475,28 @@ def build_objective(
         # jax.hessian of this for the EDF trace (R/sde.R:1363).
         return -loglik_ad(full)
 
+    # ---- compressed inner-Hessian plan (infer/coloring.py) ----
+    # Only when the inner vector is exactly the full coeff_re (ML, no
+    # pinned entries): the plan's column indexing must match the inner
+    # vector one-to-one. Pure optimization — plan_coloring returns
+    # None whenever exact reconstruction is not guaranteed.
+    hess_plan = None
+    if (
+        has_re
+        and not reml
+        and not np.asarray(cre_fixed).any()
+        and p_re >= 16
+    ):
+        from smoothsde_tpu.infer.coloring import plan_coloring
+
+        pg_off = np.concatenate([[0], np.cumsum(design.ncol_re)]).astype(int)
+        S_groups = getattr(design, "S_groups", [[S] for S in design.S_blocks])
+        penalty_couplings = [
+            (np.arange(pg_off[k], pg_off[k + 1]), S_groups[k])
+            for k in range(len(design.ncol_re))
+        ]
+        hess_plan = plan_coloring(design.re_blocks(), penalty_couplings)
+
     return ObjectiveBundle(
         joint_nllk=joint_nllk,
         joint_nllk_unpenalized=joint_nllk_unpenalized,
@@ -483,4 +506,5 @@ def build_objective(
         n_obs=n,
         joint_nllk_ad=joint_nllk_ad,
         innovations=innovations if spec.kind == "ssm" else None,
+        hess_plan=hess_plan,
     )
