@@ -348,13 +348,22 @@ class SDE:
               mesh_axis: str = "tracks", reml: bool = False):
         """Build the objective bundle (TMB MakeADFun equivalent).
 
-        With `mesh` (a jax.sharding.Mesh), the likelihood is evaluated
+        With `mesh` (a jax.sharding.Mesh, or "auto" for a
+        device-count-aware mesh over every addressable device —
+        parallel/batching.auto_mesh), the likelihood is evaluated
         track-sharded over the mesh axis `mesh_axis`: independent
         tracks are padded into a batch, vmapped, and reduced with an
         XLA psum over ICI (parallel/dist.py) — there is no reference
         counterpart (the reference is single-threaded,
         nllk_sde.hpp:77-84)."""
         from smoothsde_tpu.infer.objective import build_objective
+
+        if isinstance(mesh, str):
+            if mesh != "auto":
+                raise ValueError("mesh must be a Mesh or 'auto'")
+            from smoothsde_tpu.parallel.batching import auto_mesh
+
+            mesh = auto_mesh(axis=mesh_axis)
 
         init = {
             "coeff_fe": self._coeff_fe,

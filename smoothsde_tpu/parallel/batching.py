@@ -68,6 +68,25 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "tracks") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def auto_mesh(axis: str = "tracks") -> Mesh:
+    """Device-count-aware mesh over every addressable device.
+
+    Single-host: a 1-axis mesh over all local devices (track shards
+    ride ICI). Multi-host (jax.process_count() > 1): a ("dcn", axis)
+    mesh whose leading axis spans processes — per the standard
+    DCN-outer/ICI-inner layout, the track batch shards across hosts on
+    the slow network while each host's shard rides ICI; the scalar
+    psum then reduces hierarchically. `SDE.fit(mesh="auto")` resolves
+    to this.
+    """
+    n_proc = jax.process_count()
+    devices = np.array(jax.devices())
+    if n_proc <= 1:
+        return Mesh(devices, (axis,))
+    per_host = len(devices) // n_proc
+    return Mesh(devices.reshape(n_proc, per_host), ("dcn", axis))
+
+
 def shard_batch(tree, mesh: Mesh, axis: str = "tracks"):
     """Place a PackedTracks-style pytree with its leading axis sharded
     over the mesh."""

@@ -149,3 +149,30 @@ class TestShardedFit:
         assert np.isfinite(res.value)
         assert abs(mu_hat - mu_t) < 0.25
         assert abs(sig_hat - sig_t) < 0.15
+
+
+class TestAutoMesh:
+    def test_auto_mesh_single_host(self):
+        from smoothsde_tpu.parallel.batching import auto_mesh
+
+        mesh = auto_mesh()
+        assert mesh.shape["tracks"] == 8  # all virtual devices
+
+    def test_fit_mesh_auto(self):
+        """SDE.fit(mesh='auto') builds the mesh and fits sharded."""
+        rng = np.random.default_rng(12)
+        K, L = 8, 60
+        n = K * L
+        data = {
+            "ID": np.repeat(np.arange(K), L),
+            "time": np.concatenate(
+                [np.cumsum(rng.uniform(0.3, 0.7, L)) for _ in range(K)]
+            ),
+            "z": np.cumsum(rng.normal(size=n)) * 0.4,
+        }
+        from smoothsde_tpu import SDE
+
+        sde = SDE(data=data, type="BM", response="z", par0=[0.0, 0.6])
+        res = sde.fit(mesh="auto")
+        assert res.convergence == 0
+        assert np.isfinite(res.value)
