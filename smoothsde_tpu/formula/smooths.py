@@ -27,7 +27,6 @@ on.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import numpy as np
 

@@ -25,7 +25,6 @@ criterion) plus a no-progress stop.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -33,7 +33,7 @@ embarrassingly parallel elementwise pass.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -34,7 +34,6 @@ import jax
 import jax.numpy as jnp
 
 from smoothsde_tpu.ops.kalman_soa import (
-    Element2,
     _combine2,
     _ID2,
     _inv2,
@@ -160,7 +159,6 @@ def llk2_analytic(sys, scan: str = "auto"):
     path in tests/test_kalman.py.
     """
     from smoothsde_tpu.ops.kalman_soa import (
-        CtcrwSystem,
         _build_elem2,
         _llk_from_filtered,
     )
