@@ -1105,6 +1105,7 @@ class SDE:
                 fit_value=np.array(res.value),
                 fit_convergence=np.array(res.convergence),
                 fit_bhat=res.bhat,
+                fit_inner_names=np.array(res.inner_names),
             )
             if res.H_marg is not None:
                 payload["fit_H_marg"] = res.H_marg
@@ -1139,7 +1140,13 @@ class SDE:
                 systime=0.0,
                 message="restored from checkpoint",
                 bhat=np.asarray(z["fit_bhat"]),
-                inner_names=["coeff_re"] * len(np.asarray(z["fit_bhat"])),
+                # older checkpoints predate REML and carried only
+                # coeff_re in the inner vector
+                inner_names=(
+                    [str(s) for s in z["fit_inner_names"]]
+                    if "fit_inner_names" in z
+                    else ["coeff_re"] * len(np.asarray(z["fit_bhat"]))
+                ),
                 H_marg=(
                     np.asarray(z["fit_H_marg"]) if "fit_H_marg" in z else None
                 ),

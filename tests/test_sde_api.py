@@ -437,3 +437,40 @@ class TestREML:
         truth = np.exp(0.4 * np.sin(2 * np.pi * grid["x"]))
         assert np.max(np.abs(p_reml - truth) / truth) < 0.3
         assert np.max(np.abs(p_reml - p_ml) / p_ml) < 0.15
+
+    def test_reml_checkpoint_and_posterior_roundtrip(self, tmp_path):
+        """save_state/load_state preserves the REML inner layout
+        (coeff_fe lives in the inner vector), and posterior draws keep
+        working after restore."""
+        rng = np.random.default_rng(41)
+        n = 400
+        x = rng.uniform(0, 1, n)
+        sig = np.exp(0.3 * np.sin(2 * np.pi * x[:-1]))
+        z = np.concatenate(
+            [[0.0], np.cumsum(sig * np.sqrt(0.5) * rng.normal(size=n - 1))]
+        )
+        data = {"ID": np.zeros(n, int), "time": np.arange(n) * 0.5,
+                "z": z, "x": x}
+
+        def make():
+            return SDE(
+                data=data, type="BM", response="z",
+                formulas={"mu": "~1", "sigma": "~s(x, k=5, bs='cs')"},
+                par0=[0.0, 1.0],
+            )
+
+        m = make()
+        m.fit(criterion="REML")
+        path = str(tmp_path / "reml.npz")
+        m.save_state(path)
+
+        m2 = make()
+        m2.setup(reml=True)
+        m2.load_state(path)
+        assert m2.out().inner_names == m.out().inner_names
+        assert "coeff_fe" in m2.out().inner_names
+        post = m2.post_coeff(n_post=20, rng=np.random.default_rng(0))
+        assert post["coeff_fe"].shape[1] == len(m._coeff_fe)
+        assert np.isfinite(post["coeff_fe"]).all()
+        ci = m2.CI_pointwise(t=[0, 1, 2])
+        assert np.isfinite(ci).all()
