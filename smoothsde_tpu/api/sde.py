@@ -409,11 +409,14 @@ class SDE:
         return float(b.joint_nllk(full))
 
     def fit(self, silent: bool = True, map=None, mesh=None,
-            criterion: str = "ML", **kwargs):
+            mesh_axis: str = "tracks", criterion: str = "ML", **kwargs):
         """Fit by marginal maximum likelihood (R/sde.R:683-720).
 
-        `mesh`: optional jax.sharding.Mesh — fit with the likelihood
-        track-sharded across devices (see `setup`).
+        `mesh`: optional jax.sharding.Mesh (or "auto") — fit with the
+        likelihood sharded across devices (see `setup`).
+        `mesh_axis`: "tracks" (independent tracks shard the batch) or
+        "time" (one long track's filter shards along the step axis
+        with cross-device prefix stitching, parallel/time_scan.py).
         `criterion`: "ML" (the reference's criterion) or "REML" — the
         fixed-effect coefficients are integrated out alongside the
         smooth coefficients (TMB's random=c("coeff_fe", "coeff_re")
@@ -430,7 +433,7 @@ class SDE:
             or mesh is not None
             or getattr(self, "_reml", False) != reml
         ):
-            self.setup(map=map, mesh=mesh,
+            self.setup(map=map, mesh=mesh, mesh_axis=mesh_axis,
                        kalman_impl=self._kalman_impl, reml=reml)
         res = fit_model(self._bundle, verbose=not silent, **kwargs)
         self._fit_result = res

@@ -431,15 +431,25 @@ def build_objective(
     if loglik_ad is None:
         loglik_ad = loglik
 
-    # ---- distributed (track-sharded) likelihood override ----
+    # ---- distributed likelihood override: tracks- or time-sharded ----
     if mesh is not None:
-        from smoothsde_tpu.parallel.dist import build_sharded_loglik
+        if mesh_axis == "time":
+            from smoothsde_tpu.parallel.dist import (
+                build_time_sharded_loglik,
+            )
 
-        sharded = build_sharded_loglik(
-            spec, obs, times, ids, mesh=mesh, axis=mesh_axis,
-            other_data=other_data, kalman_impl=kalman_impl,
-            H_array=H_array, P0=P0,
-        )
+            sharded = build_time_sharded_loglik(
+                spec, obs, times, ids, mesh=mesh, axis=mesh_axis,
+                other_data=other_data, H_array=H_array, P0=P0,
+            )
+        else:
+            from smoothsde_tpu.parallel.dist import build_sharded_loglik
+
+            sharded = build_sharded_loglik(
+                spec, obs, times, ids, mesh=mesh, axis=mesh_axis,
+                other_data=other_data, kalman_impl=kalman_impl,
+                H_array=H_array, P0=P0,
+            )
 
         def loglik(full):  # noqa: F811 — replaces the single-device path
             return sharded(full, par_matrix(full))

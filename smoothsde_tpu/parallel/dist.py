@@ -81,6 +81,112 @@ def pack_layout(
     return PackedLayout(row_idx, valid, t_p, K, lengths)
 
 
+def build_time_sharded_loglik(
+    spec,
+    obs: np.ndarray,
+    times: np.ndarray,
+    ids: np.ndarray,
+    mesh: Mesh,
+    axis: str = "time",
+    other_data: Optional[dict] = None,
+    H_array=None,
+    P0=None,
+):
+    """Build `loglik(full, par_full) -> scalar` with the TIME axis of
+    the (single- or multi-track) step sequence sharded over the mesh:
+    each device scans its block of filtering elements, one all_gather
+    of block totals over ICI stitches the prefixes
+    (parallel/time_scan.kalman_filter_time_sharded; SURVEY.md §2
+    "Parallelism" item 2). The right layout for ONE enormous track,
+    where track sharding has nothing to split.
+
+    Closed-form models need no special path (their per-step map-reduce
+    is GSPMD-shardable as-is); this builder covers the Kalman family.
+    """
+    import jax
+
+    from smoothsde_tpu.models.ssm import SSM_STEP_BUILDERS
+    from smoothsde_tpu.ops.kalman import KalmanSteps
+    from smoothsde_tpu.ops.kalman_soa import precompute_dt
+    from smoothsde_tpu.parallel.time_scan import kalman_filter_time_sharded
+
+    if spec.kind != "ssm" or spec.type == "ESEAL_SSM":
+        raise NotImplementedError(
+            "time-sharded likelihood covers BM_SSM/OU_SSM/CTCRW"
+        )
+    other_data = dict(other_data or {})
+    n_dev = int(mesh.shape[axis])
+    n = len(ids)
+    pad = (-n) % n_dev
+    builder = SSM_STEP_BUILDERS[spec.type]
+
+    obs_j = jnp.asarray(np.asarray(obs, float))
+    times_j = jnp.asarray(np.asarray(times, float))
+    ids_j = jnp.asarray(np.asarray(ids))
+    dt_j = jnp.asarray(precompute_dt(times, ids), float)
+    P0_j = None if P0 is None else jnp.asarray(np.asarray(P0, float))
+    H_j = None
+    if H_array is not None:
+        H_np = np.asarray(H_array, float)
+        if H_np.ndim == 3 and H_np.shape[0] != n and H_np.shape[-1] == n:
+            H_np = np.moveaxis(H_np, -1, 0)
+        H_j = jnp.asarray(H_np)
+
+    # local scan: log-depth associative on TPU; sequential composition
+    # on CPU (same math; reverse-AD through lax.associative_scan
+    # miscompiles on this environment's CPU backend, see ops/kalman.py)
+    local_scan = (
+        "associative" if jax.default_backend() == "tpu" else "sequential"
+    )
+
+    def _pad_steps(steps: KalmanSteps) -> KalmanSteps:
+        """Append propagate-only identity rows so the step axis divides
+        the device count: T=I, Q=0, b=0, valid=False, reset=False —
+        exactly zero likelihood and an unchanged carry."""
+        if pad == 0:
+            return steps
+        s_dim = steps.T.shape[-1]
+        m_dim = steps.Z.shape[1]
+        eye = jnp.broadcast_to(
+            jnp.eye(s_dim, dtype=steps.T.dtype), (pad, s_dim, s_dim)
+        )
+        zmat = jnp.zeros((pad, m_dim, s_dim), steps.Z.dtype)
+        return KalmanSteps(
+            T=jnp.concatenate([steps.T, eye]),
+            b=jnp.concatenate([steps.b, jnp.zeros((pad, s_dim))]),
+            Q=jnp.concatenate([steps.Q, jnp.zeros((pad, s_dim, s_dim))]),
+            Z=jnp.concatenate([steps.Z, zmat]),
+            H=jnp.concatenate(
+                [steps.H,
+                 jnp.broadcast_to(jnp.eye(m_dim, dtype=steps.H.dtype),
+                                  (pad, m_dim, m_dim))]
+            ),
+            y=jnp.concatenate([steps.y, jnp.zeros((pad, m_dim))]),
+            a0=jnp.concatenate([steps.a0, jnp.zeros((pad, s_dim))]),
+            P0=jnp.concatenate(
+                [steps.P0,
+                 jnp.broadcast_to(jnp.eye(s_dim, dtype=steps.P0.dtype),
+                                  (pad, s_dim, s_dim))]
+            ),
+            reset=jnp.concatenate([steps.reset, jnp.zeros(pad, bool)]),
+            valid=jnp.concatenate([steps.valid, jnp.zeros(pad, bool)]),
+        )
+
+    def loglik(full, par_full):
+        sobs = jnp.exp(full["log_sigma_obs"][0])
+        steps = builder(
+            par_full, obs_j, times_j, ids_j, sigma_obs=sobs,
+            H_array=H_j, P0=P0_j, dt=dt_j,
+        )
+        steps = _pad_steps(steps)
+        llk, _ = kalman_filter_time_sharded(
+            steps, mesh, axis=axis, local_scan=local_scan
+        )
+        return llk
+
+    return loglik
+
+
 def build_sharded_loglik(
     spec,
     obs: np.ndarray,

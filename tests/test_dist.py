@@ -176,3 +176,33 @@ class TestAutoMesh:
         res = sde.fit(mesh="auto")
         assert res.convergence == 0
         assert np.isfinite(res.value)
+
+
+class TestTimeShardedFit:
+    def test_fit_single_huge_track_time_sharded(self):
+        """SDE.fit(mesh=..., mesh_axis='time'): one long track's filter
+        sharded along the step axis across the virtual mesh, fit end to
+        end — the layout for a single enormous track, where track
+        sharding has nothing to split."""
+        from smoothsde_tpu import SDE
+        from smoothsde_tpu.parallel.batching import make_mesh
+
+        rng = np.random.default_rng(13)
+        n = 1000  # not divisible by 8 -> exercises identity padding
+        n -= 3
+        dt = 0.5
+        lat = np.concatenate(
+            [[0.0], np.cumsum(0.2 * dt + 0.7 * np.sqrt(dt)
+                              * rng.normal(size=n - 1))]
+        )
+        z = lat + 0.3 * rng.normal(size=n)
+        data = {"ID": np.zeros(n, int), "time": np.arange(n) * dt, "z": z}
+        mesh = make_mesh(8, axis="time")
+        sde = SDE(data=data, type="BM_SSM", response="z", par0=[0.0, 1.0])
+        res = sde.fit(mesh=mesh, mesh_axis="time")
+        assert res.convergence == 0
+
+        # same optimum as the unsharded fit
+        sde2 = SDE(data=data, type="BM_SSM", response="z", par0=[0.0, 1.0])
+        res2 = sde2.fit()
+        assert abs(res.value - res2.value) < 1e-6 * (1 + abs(res2.value))
