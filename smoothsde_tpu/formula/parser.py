@@ -31,7 +31,7 @@ class SmoothTerm:
     """One s(...) smooth specification."""
 
     var: str
-    k: int = -1  # -1 = basis default
+    k: object = -1  # int, or (k1, k2) for te/ti; -1 = default
     bs: str = "tp"
     by: Optional[str] = None
     m: int = 2  # penalty order (tp)
@@ -137,6 +137,12 @@ def _parse_smooth(term: str) -> SmoothTerm:
             kw[k.arg] = k.value.value
         elif isinstance(k.value, ast.Name):
             kw[k.arg] = k.value.id  # e.g. by=x3 (bare name)
+        elif (
+            k.arg == "k"
+            and isinstance(k.value, (ast.Tuple, ast.List))
+            and all(isinstance(e, ast.Constant) for e in k.value.elts)
+        ):
+            kw[k.arg] = tuple(e.value for e in k.value.elts)  # k=(5, 8)
         else:
             raise ValueError(f"unsupported s() argument {k.arg!r} in {term!r}")
     bs = kw.get("bs", "tp")
@@ -153,9 +159,19 @@ def _parse_smooth(term: str) -> SmoothTerm:
             f"2-d s() smooths support bs='tp'/'ts' only (got bs={bs!r} in "
             f"{term!r}); use te()/ti() for anisotropic tensor products"
         )
+    k_val = kw.get("k", -1)
+    if isinstance(k_val, tuple):
+        if not tensor or len(k_val) != 2:
+            raise ValueError(
+                f"per-margin k=(k1, k2) is only valid for te/ti with two "
+                f"covariates (got {term!r})"
+            )
+        k_val = tuple(int(v) for v in k_val)
+    else:
+        k_val = int(k_val)
     return SmoothTerm(
         var=var,
-        k=int(kw.get("k", -1)),
+        k=k_val,
         bs=bs,
         by=kw.get("by"),
         m=int(kw.get("m", 2)),

@@ -620,9 +620,12 @@ def build_smooth(term, x, is_factor, levels=None, knots=None) -> SmoothBasis:
             f"smooth of factor {term.var!r} requires bs='re'"
         )
     if getattr(term, "tensor", None):
-        k_marg = term.k if term.k > 0 else 5  # mgcv te default per margin
+        if isinstance(term.k, tuple):
+            k1, k2 = term.k  # per-margin k=(k1, k2)
+        else:
+            k1 = k2 = term.k if term.k > 0 else 5  # mgcv te default
         return TensorSmooth(
-            label, x, k_marg, k_marg,
+            label, x, k1, k2,
             bs=bs if bs not in ("tp", "ts") else "cs",
             mode=term.tensor,
         )

@@ -356,3 +356,20 @@ class TestTensorSmooths:
         x = rng.uniform(0, 1, 60)
         sm = CRSmooth("s(x)", x, k=10, knots=[0.0, 0.2, 0.5, 0.8, 1.0])
         assert sm.X.shape[1] == 4  # len(knots) - 1 after centering
+
+    def test_te_per_margin_k(self):
+        data = self._data()
+        d = build_design(
+            {"mu": "~te(x, z, k=(4, 6), bs='cs')", "sigma": "~1"}, data
+        )
+        fd = d.per_param["mu"]
+        assert fd.X_re.shape[1] == 23  # 4*6 - 1 joint centering
+        S1, S2 = fd.S_groups[0]
+        assert S1.shape == (23, 23) and S2.shape == (23, 23)
+
+    def test_per_margin_k_rejected_for_1d(self):
+        import pytest
+        from smoothsde_tpu.formula.parser import parse_formula
+
+        with pytest.raises(ValueError):
+            parse_formula("~s(x, k=(4, 6))")
