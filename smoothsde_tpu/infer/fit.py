@@ -289,8 +289,25 @@ def _sdreport(out, bundle, packer, val_grad, fd_step, timer):
 
     with timer.stage("outer_hessian_fd"):
         if n_out:
-            G = np.asarray(jax.jit(_grads_at)(jnp.asarray(pts)))
+            grads_jit = jax.jit(_grads_at)
+            G = np.asarray(grads_jit(jnp.asarray(pts)))
             H = (G[:n_out] - G[n_out:]) / (2.0 * hs[:, None])
+            # a perturbed point can push the inner problem into a
+            # non-finite region; retry offending coordinates with a
+            # 10x smaller step before giving up
+            bad = ~np.isfinite(H).all(axis=1)
+            if bad.any():
+                hs2 = hs / 10.0
+                pts2 = np.concatenate(
+                    [
+                        x_hat[None, :] + np.diag(hs2),
+                        x_hat[None, :] - np.diag(hs2),
+                    ],
+                    axis=0,
+                )
+                G2 = np.asarray(grads_jit(jnp.asarray(pts2)))
+                H2 = (G2[:n_out] - G2[n_out:]) / (2.0 * hs2[:, None])
+                H[bad] = H2[bad]
         else:
             H = np.zeros((0, 0))
     H_marg = 0.5 * (H + H.T)

@@ -157,8 +157,28 @@ def build_objective(
         fixed_sobs = np.array([other_data.get("H") is not None])
         if "log_sigma_obs" in map_fix:
             fixed_sobs = np.atleast_1d(np.asarray(map_fix["log_sigma_obs"], bool))
+        # Data-driven default: sigma_obs ~ a fraction of the median
+        # step length. The reference initializes log_sigma_obs at 0
+        # (R/sde.R:505); when the true measurement noise is far below
+        # sigma = 1 the initial gradient is enormous and BFGS's first
+        # (unscaled) line-search leap can land on the tau -> inf
+        # plateau where the surface is flat and the optimizer reports
+        # spurious success. A measurement-scale start defuses that
+        # knife edge (override via init or the map mechanism).
+        step_med = float(
+            np.nanmedian(np.abs(np.diff(np.asarray(obs, float), axis=0)))
+        )
+        default_ls = (
+            float(np.log(0.3 * step_med))
+            if np.isfinite(step_med) and step_med > 0
+            else 0.0
+        )
         blocks.append(
-            ParamBlock("log_sigma_obs", _init("log_sigma_obs", 1, 0.0), fixed_sobs)
+            ParamBlock(
+                "log_sigma_obs",
+                _init("log_sigma_obs", 1, default_ls),
+                fixed_sobs,
+            )
         )
     elif spec.type == "ESEAL_SSM":
         # Initial values from R/sde.R:606-609.

@@ -12,6 +12,16 @@ def prec_to_cov(prec_mat: np.ndarray) -> np.ndarray:
     """Invert a precision matrix, falling back to the Moore-Penrose
     pseudo-inverse with a warning when singular (utility.R:160-172)."""
     prec = np.asarray(prec_mat, float)
+    if not np.all(np.isfinite(prec)):
+        # pinv/SVD raise on non-finite input; zero the offending
+        # entries and continue with the pseudo-inverse path below
+        warnings.warn(
+            "Precision matrix contains non-finite entries (the outer "
+            "finite-difference Hessian hit a non-finite region); "
+            "affected rows are dropped from the uncertainty estimates.",
+            stacklevel=2,
+        )
+        prec = np.where(np.isfinite(prec), prec, 0.0)
     try:
         cov = np.linalg.solve(prec, np.eye(prec.shape[0]))
         if not np.all(np.isfinite(cov)):

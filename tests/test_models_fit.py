@@ -395,3 +395,55 @@ class TestTensorSmoothFit:
         grid2["zc"] = np.linspace(0.05, 0.95, 40)
         est2 = sde.par(new_data=grid2)[:, 1]
         assert est2.std() / est2.mean() < 0.15
+
+
+class TestCTCRWPlateauRobustness:
+    def test_smooth_ctcrw_avoids_tau_plateau(self):
+        """Regression: with smooths on BOTH tau and nu and small true
+        measurement noise, the log_sigma_obs = 0 start produced an
+        enormous first gradient; scipy BFGS's unscaled first leap
+        landed on the flat tau -> infinity plateau and reported
+        spurious success (tau ~ 1700, nllk -73 instead of -357 on the
+        original instance). The data-driven sigma_obs default must
+        reach the true optimum instead."""
+        from smoothsde_tpu.utils.misc import ctcrw_cov
+
+        rng = np.random.default_rng(7)
+        n = 600
+        times = np.cumsum(rng.uniform(0.3, 1.2, size=n))
+        temp = 20 + 8 * np.sin(2 * np.pi * times / (times[-1] / 3)) \
+            + rng.normal(size=n)
+        tau_true = np.exp(1.0 + 0.03 * (temp - 20))
+        nu_true = np.exp(0.5 - 0.04 * (temp - 20))
+        v = np.zeros(2); z = np.zeros(2)
+        obs = np.empty((n, 2)); obs[0] = z
+        for i in range(1, n):
+            dt = times[i] - times[i - 1]
+            beta = 1.0 / tau_true[i - 1]
+            sigma = 2.0 * nu_true[i - 1] / np.sqrt(np.pi * tau_true[i - 1])
+            e = np.exp(-beta * dt)
+            V = ctcrw_cov(beta, sigma, dt)
+            for d in range(2):
+                v[d], z[d] = rng.multivariate_normal(
+                    [e * v[d], z[d] + v[d] / beta * (1 - e)], V
+                )
+            obs[i] = z + rng.normal(size=2) * 0.1
+        data = {"ID": np.zeros(n, int), "time": times,
+                "x": obs[:, 0], "y": obs[:, 1], "temp": temp}
+        sde = SDE(
+            formulas={"mu1": "~1", "mu2": "~1",
+                      "tau": "~s(temp, k=6, bs='cs')",
+                      "nu": "~s(temp, k=6, bs='cs')"},
+            data=data, type="CTCRW", response=["x", "y"],
+            par0=[0.0, 0.0, 2.0, 1.5],
+        )
+        res = sde.fit(compute_sdreport=False)
+        assert res.convergence == 0
+        est = sde.par(t=0)[0]
+        # the plateau failure mode gives tau in the thousands
+        assert est[2] < 30.0, est
+        assert abs(np.log(est[3]) - np.log(nu_true[0])) < 0.5
+        sobs_hat = float(np.exp(
+            res.par[res.par_names.index("log_sigma_obs")]
+        ))
+        assert 0.03 < sobs_hat < 0.3
