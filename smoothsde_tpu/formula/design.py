@@ -402,6 +402,54 @@ class DesignMatrices:
     def re_blocks(self) -> List[np.ndarray]:
         return [self.per_param[p].X_re for p in self.param_names]
 
+    def re_gather_plans(self, min_cols: int = 16):
+        """Per-parameter sparse plan for wide random-effect blocks.
+
+        An `s(ID, bs='re')` block is a one-hot indicator matrix (times
+        an optional `by` weight), so `X_block @ c` is a gather
+        `w * c[idx]` — O(n) instead of the O(n * n_levels) dense
+        matvec, and TPU-native (indexed gather fuses into the
+        surrounding elementwise ops; CSR is a poor fit for the MXU).
+        The reference reaches the same goal through sparse Eigen
+        matrices inside TMB (DATA_SPARSE_MATRIX, nllk_sde.hpp:28-30).
+
+        Returns one entry per parameter: None (keep the dense matvec)
+        or (dense_idx, X_dense, gathers) with gathers a list of
+        (start, k, idx, w or None); only parameters whose combined RE
+        indicator width is >= min_cols get a plan.
+        """
+        plans = []
+        for p in self.param_names:
+            fd = self.per_param[p]
+            X = fd.X_re
+            offs = np.concatenate(
+                [[0], np.cumsum([b.basis.X.shape[1] for b in fd.blocks])]
+            ).astype(int)
+            gathers, gather_cols = [], []
+            for b, blk in enumerate(fd.blocks):
+                if not isinstance(blk.basis, _RE_TYPES):
+                    continue
+                s, e = offs[b], offs[b + 1]
+                sub = X[:, s:e]
+                # one nonzero per row by construction; idx/weight
+                # recover the level index and any by-modulation
+                idx = np.argmax(sub != 0.0, axis=1)
+                w = sub[np.arange(sub.shape[0]), idx]
+                gathers.append(
+                    (int(s), int(e - s), idx.astype(np.int32),
+                     None if np.all(w == 1.0) else w)
+                )
+                gather_cols.extend(range(s, e))
+            if not gathers or len(gather_cols) < min_cols:
+                plans.append(None)
+                continue
+            dense_idx = np.array(
+                [c for c in range(X.shape[1]) if c not in set(gather_cols)],
+                int,
+            )
+            plans.append((dense_idx, X[:, dense_idx], gathers))
+        return plans
+
     def stacked_X_fe(self) -> np.ndarray:
         return _block_diag(self.fe_blocks())
 

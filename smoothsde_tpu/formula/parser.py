@@ -145,14 +145,14 @@ def _parse_smooth(term: str) -> SmoothTerm:
             kw[k.arg] = tuple(e.value for e in k.value.elts)  # k=(5, 8)
         else:
             raise ValueError(f"unsupported s() argument {k.arg!r} in {term!r}")
-    bs = kw.get("bs", "tp")
+    bs = kw.get("bs", "cs" if tensor else "tp")
     if bs not in ("tp", "ts", "cr", "cs", "cc", "re", "bs"):
         raise ValueError(f"unsupported basis bs={bs!r} in {term!r}")
     if tensor:
-        if bs not in ("tp", "cr", "cs", "cc"):
+        if bs not in ("tp", "ts", "cr", "cs", "cc"):
             raise ValueError(
-                f"te/ti margins support bs='cr'/'cs'/'cc' (got bs={bs!r} "
-                f"in {term!r})"
+                f"te/ti margins support bs='cr'/'cs'/'cc'/'tp'/'ts' "
+                f"(got bs={bs!r} in {term!r})"
             )
     elif var2 is not None and bs not in ("tp", "ts"):
         raise ValueError(

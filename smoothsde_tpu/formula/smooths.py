@@ -138,7 +138,7 @@ class TPSmooth(SmoothBasis):
     unlike scale-variant tensor products.
     """
 
-    def __init__(self, label, x, k, shrink=False):
+    def __init__(self, label, x, k, shrink=False, center=True):
         x = np.asarray(x, float)
         if x.ndim == 1:
             x = x[:, None]
@@ -184,14 +184,18 @@ class TPSmooth(SmoothBasis):
         S_full = np.zeros((k, k))
         S_full[: k - M, : k - M] = Zc.T @ (Dk[:, None] * Zc)
 
-        # absorb the sum-to-zero constraint over the data
-        Z = sum_to_zero_constraint(X_full)
+        # absorb the sum-to-zero constraint over the data (center=False
+        # keeps the raw basis — tensor-product margins center jointly)
+        if center:
+            Z = sum_to_zero_constraint(X_full)
+        else:
+            Z = np.eye(X_full.shape[1])
         X = X_full @ Z
         S = Z.T @ S_full @ Z
-        # exact penalty null dim after centering: the degree-<2 null
-        # space loses the constant -> M - 1 remaining null directions
+        # exact penalty null dim: degree-<2 polynomials (M directions);
+        # centering removes the constant -> M - 1 remain
         if shrink:
-            S = shrinkage_penalty(S, null_dim=M - 1)
+            S = shrinkage_penalty(S, null_dim=M - 1 if center else M)
 
         self._state = _TPState(
             knots=u, shift=shift, scale=scale, UkZ=UkZ, T_transform=Z
@@ -598,8 +602,11 @@ def _marginal_basis(label, x, k, bs, center):
         return CRSmooth(label, x, k, shrink=(bs == "cs"), center=center)
     if bs == "cc":
         return CCSmooth(label, x, k, center=center)
+    if bs in ("tp", "ts"):
+        return TPSmooth(label, x, k, shrink=(bs == "ts"), center=center)
     raise ValueError(
-        f"tensor-product margins support bs='cr'/'cs'/'cc' (got {bs!r})"
+        f"tensor-product margins support bs='cr'/'cs'/'cc'/'tp'/'ts' "
+        f"(got {bs!r})"
     )
 
 
@@ -624,11 +631,7 @@ def build_smooth(term, x, is_factor, levels=None, knots=None) -> SmoothBasis:
             k1, k2 = term.k  # per-margin k=(k1, k2)
         else:
             k1 = k2 = term.k if term.k > 0 else 5  # mgcv te default
-        return TensorSmooth(
-            label, x, k1, k2,
-            bs=bs if bs not in ("tp", "ts") else "cs",
-            mode=term.tensor,
-        )
+        return TensorSmooth(label, x, k1, k2, bs=bs, mode=term.tensor)
     two_d = np.asarray(x).ndim == 2 and np.asarray(x).shape[1] == 2
     k = term.k if term.k > 0 else (30 if two_d else 10)  # mgcv defaults
     if bs in ("tp", "ts"):

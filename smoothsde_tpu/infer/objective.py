@@ -235,6 +235,27 @@ def build_objective(
     packer = ParamPacker(blocks, inner=inner_blocks)
 
     # ---- linear predictor ----
+    # wide s(ID, bs='re') indicator blocks become gathers (w * c[idx])
+    # instead of dense matvecs — the TPU-native form of the reference's
+    # sparse design matrices (DATA_SPARSE_MATRIX, nllk_sde.hpp:28-30);
+    # decay-modulated parameters keep the dense path (decay rescales
+    # arbitrary columns at trace time)
+    decay_params = {jj for jj, _, _ in decay_map}
+    gather_plans = [None] * n_par
+    if hasattr(design, "re_gather_plans"):
+        for j, plan in enumerate(design.re_gather_plans()):
+            if plan is not None and j not in decay_params:
+                dense_idx, X_dense, gathers = plan
+                gather_plans[j] = (
+                    jnp.asarray(dense_idx),
+                    jnp.asarray(X_dense),
+                    [
+                        (s, k, jnp.asarray(idx),
+                         None if w is None else jnp.asarray(w))
+                        for s, k, idx, w in gathers
+                    ],
+                )
+
     def par_matrix(full):
         cfe = full["coeff_fe"]
         cre = full["coeff_re"]
@@ -242,6 +263,16 @@ def build_objective(
         for j in range(n_par):
             lp = fe_blocks[j] @ cfe[fe_off[j] : fe_off[j + 1]]
             if ncol_re_per_param[j] > 0:
+                crej = cre[re_off[j] : re_off[j + 1]]
+                if gather_plans[j] is not None:
+                    dense_idx, X_dense, gathers = gather_plans[j]
+                    if X_dense.shape[1]:
+                        lp = lp + X_dense @ crej[dense_idx]
+                    for s, k, idx, w in gathers:
+                        g = crej[s : s + k][idx]
+                        lp = lp + (g if w is None else w * g)
+                    cols.append(lp)
+                    continue
                 Xre = re_blocks[j]
                 if decay_enabled:
                     rate = jnp.exp(full["log_decay"])
@@ -249,7 +280,7 @@ def build_objective(
                         if jj == j:
                             factor = jnp.exp(-rate[rix] * t_decay_blocks[j])
                             Xre = Xre.at[:, local].set(Xre[:, local] * factor)
-                lp = lp + Xre @ cre[re_off[j] : re_off[j + 1]]
+                lp = lp + Xre @ crej
             cols.append(lp)
         return jnp.stack(cols, axis=1)
 

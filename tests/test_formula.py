@@ -373,3 +373,117 @@ class TestTensorSmooths:
 
         with pytest.raises(ValueError):
             parse_formula("~s(x, k=(4, 6))")
+
+
+class TestReGatherPlans:
+    def test_gather_matches_dense_matvec(self):
+        rng = np.random.default_rng(0)
+        n, n_id = 400, 40
+        data = ColumnData({
+            "ID": rng.integers(0, n_id, n),
+            "x": rng.uniform(0, 1, n),
+            "g": np.array(["a", "b"])[rng.integers(0, 2, n)],
+        })
+        d = build_design(
+            {"mu": "~s(ID, bs='re') + s(x, k=5, bs='cs')", "sigma": "~1"},
+            data,
+        )
+        plans = d.re_gather_plans(min_cols=16)
+        assert plans[0] is not None and plans[1] is None
+        dense_idx, X_dense, gathers = plans[0]
+        X = d.per_param["mu"].X_re
+        c = rng.normal(size=X.shape[1])
+        ref = X @ c
+        out = X_dense @ c[dense_idx]
+        for s, k, idx, w in gathers:
+            g = c[s : s + k][idx]
+            out = out + (g if w is None else w * g)
+        np.testing.assert_allclose(out, ref, atol=1e-12)
+
+    def test_factor_by_re_weight(self):
+        rng = np.random.default_rng(1)
+        n, n_id = 300, 30
+        data = ColumnData({
+            "ID": rng.integers(0, n_id, n),
+            "g": np.array(["a", "b"])[rng.integers(0, 2, n)],
+        })
+        d = build_design({"mu": "~s(ID, bs='re', by=g)", "sigma": "~1"}, data)
+        plans = d.re_gather_plans(min_cols=16)
+        assert plans[0] is not None
+        dense_idx, X_dense, gathers = plans[0]
+        assert X_dense.shape[1] == 0 and len(gathers) == 2
+        X = d.per_param["mu"].X_re
+        c = rng.normal(size=X.shape[1])
+        out = np.zeros(n)
+        for s, k, idx, w in gathers:
+            g = c[s : s + k][idx]
+            out = out + (g if w is None else w * g)
+        np.testing.assert_allclose(out, X @ c, atol=1e-12)
+
+    def test_narrow_re_keeps_dense(self):
+        rng = np.random.default_rng(2)
+        data = ColumnData({"ID": rng.integers(0, 5, 100)})
+        d = build_design({"mu": "~s(ID, bs='re')", "sigma": "~1"}, data)
+        assert d.re_gather_plans(min_cols=16)[0] is None
+
+
+class TestTensorTPMargins:
+    def _data(self, n=400, seed=13):
+        rng = np.random.default_rng(seed)
+        return {"x": rng.uniform(0, 1, n), "z": rng.uniform(0, 1, n)}
+
+    def test_te_ts_margins_shapes_and_eval(self):
+        data = self._data()
+        d = build_design(
+            {"mu": "~te(x, z, k=5, bs='ts')", "sigma": "~1"}, data
+        )
+        fd = d.per_param["mu"]
+        assert fd.X_re.shape[1] == 24  # 5*5 - 1 joint centering
+        assert len(fd.S_groups[0]) == 2
+        sub = {k: np.asarray(v)[:15] for k, v in data.items()}
+        ev = d.eval(ColumnData(sub))
+        np.testing.assert_allclose(
+            ev.re_blocks[0], fd.X_re[:15], atol=1e-9
+        )
+
+    def test_ti_ts_margins_centered(self):
+        data = self._data()
+        d = build_design(
+            {"mu": "~ti(x, z, k=5, bs='ts')", "sigma": "~1"}, data
+        )
+        fd = d.per_param["mu"]
+        assert fd.X_re.shape[1] == 16  # (5-1)*(5-1)
+        # margins centered: each margin basis sums to ~0 over the data
+        for m in fd.blocks[0].basis._margins:
+            np.testing.assert_allclose(
+                m.X.sum(axis=0), 0.0, atol=1e-8
+            )
+
+    def test_te_ts_penalties_anisotropic_and_proper(self):
+        data = self._data()
+        d = build_design(
+            {"mu": "~te(x, z, k=5, bs='ts')", "sigma": "~1"}, data
+        )
+        fd = d.per_param["mu"]
+        S1, S2 = fd.S_groups[0]
+        assert np.linalg.eigvalsh(S1 + S2).min() > 0
+        X = fd.X_re
+        fx = np.sin(2 * np.pi * np.asarray(data["x"]))
+        fx -= fx.mean()
+        coef, *_ = np.linalg.lstsq(X, fx, rcond=None)
+        # the z-margin energy is not ~0 as for cs margins: 'ts'
+        # shrinkage puts eps mass on the tp null space (incl. the
+        # z-constant direction an x-only function uses); measured
+        # ratio ~12.6 at k=5
+        assert coef @ S1 @ coef > 5 * (coef @ S2 @ coef)
+
+    def test_tp_uncentered_margin_spans_constant(self):
+        from smoothsde_tpu.formula.smooths import TPSmooth
+
+        rng = np.random.default_rng(3)
+        x = rng.uniform(0, 1, 200)
+        sm = TPSmooth("s(x)", x, k=6, center=False)
+        assert sm.X.shape[1] == 6  # no constraint absorbed
+        # the uncentered basis contains the constant exactly
+        c, res, *_ = np.linalg.lstsq(sm.X, np.ones(200), rcond=None)
+        assert res.size == 0 or res[0] < 1e-18

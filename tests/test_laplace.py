@@ -251,3 +251,53 @@ class TestDeviceLBFGS:
         assert bool(r.converged)
         np.testing.assert_allclose(np.asarray(r.x), np.asarray(xstar),
                                    atol=1e-3)
+
+
+class TestWideREGatherObjective:
+    def test_gather_objective_matches_dense(self):
+        """Wide s(ID, bs='re') blocks route the linear predictor
+        through gathers instead of a dense matvec; the objective must
+        be numerically identical to the dense path."""
+        rng = np.random.default_rng(11)
+        n_id, n_per = 40, 12
+        n = n_id * n_per
+        ids = np.repeat(np.arange(n_id), n_per)
+        times = np.tile(np.arange(n_per, dtype=float) * 0.5, n_id)
+        obs = rng.normal(size=n).cumsum() * 0.1
+
+        def make_bundle(force_dense):
+            design = build_design(
+                {"mu": "~s(ID, bs='re')", "sigma": "~1"},
+                {"ID": ids, "time": times, "z": obs},
+            )
+            if force_dense:
+                design.re_gather_plans = (
+                    lambda min_cols=16: [None, None]
+                )
+            spec = get_model_spec("BM", 1)
+            return build_objective(
+                spec, design, obs[:, None], times, ids,
+                kalman_impl="sequential",
+            )
+
+        b_g = make_bundle(False)
+        b_d = make_bundle(True)
+        pk = b_g.packer
+        outer = rng.normal(size=pk.n_outer) * 0.1
+        inner = rng.normal(size=pk.n_inner) * 0.5
+        full = pk.unpack(jnp.asarray(outer), jnp.asarray(inner))
+        v_g = float(b_g.joint_nllk(full))
+        v_d = float(b_d.joint_nllk(full))
+        assert np.isclose(v_g, v_d, rtol=1e-12, atol=1e-10)
+
+        def flat_nllk(bundle):
+            return lambda th: bundle.joint_nllk(
+                bundle.packer.unpack(th[: pk.n_outer], th[pk.n_outer :])
+            )
+
+        th = jnp.asarray(np.concatenate([outer, inner]))
+        g_g = jax.grad(flat_nllk(b_g))(th)
+        g_d = jax.grad(flat_nllk(b_d))(th)
+        np.testing.assert_allclose(
+            np.asarray(g_g), np.asarray(g_d), rtol=1e-9, atol=1e-10
+        )
