@@ -9,7 +9,10 @@ the 10 raw per-step input arrays:
   kernel 1: per lane-block, build filtering elements on the fly and
             compose them, emitting only each block's TOTAL element
             (14 small arrays, one value per block);
-  phase 2:  exclusive associative scan of the block totals (tiny, XLA);
+  phase 2:  exclusive prefix of the block totals in ONE small Pallas
+            launch (_block_prefix_pallas) — the XLA associative_scan
+            it replaces unrolled into ~2.5k tiny HLOs that cost more
+            than both big kernels combined;
   kernel 2: re-run the within-block composition with the carry seeded
             by the block's prefix element (recompute-instead-of-store),
             emitting filtered moments (5 arrays) and the per-lane
@@ -152,6 +155,100 @@ _ID_VALS = [1.0, 0.0, 0.0, 1.0,  # A = I
             0.0, 0.0, 0.0]       # J
 
 
+def _block_prefix_pallas(totals, id_vals, unpack, pack, combine,
+                         NB, MID, dtype, reverse, interpret):
+    """Exclusive cross-block prefix (suffix when reverse=True) of the
+    per-block total elements in ONE Pallas launch.
+
+    Replaces the XLA `lax.associative_scan` phase-2, which unrolls into
+    thousands of tiny slice/concat/combine HLOs (measured ~2.5k ops and
+    >1 ms device time per evaluation at NB = 2048 — dwarfing the fused
+    kernels themselves).
+
+    totals: n_comp (MID, 128) arrays; lane ℓ = dd * NB + b with block
+    index b fastest (row-major over the (MID, 128) tile, RPD = NB // 128
+    rows per dim). Fully vectorized in-kernel scan:
+      (i)  Hillis-Steele inclusive scan across the 128 lanes of every
+           row (7 shift-combine rounds);
+      (ii) segmented Hillis-Steele scan of the row totals across rows
+           (log2(RPD) rounds, masked at dim boundaries);
+      (iii) one lane shift + one row shift convert inclusive to
+           exclusive; out = combine(row_carry, lane_exclusive).
+    Requires NB % 128 == 0 and RPD a power of two (callers fall back to
+    the XLA scan otherwise).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_comp = len(totals)
+    RPD = NB // 128
+
+    def shift_lane(xs, k):
+        """Shift each row by k lanes (toward higher lanes when
+        forward), filling vacated lanes with the identity."""
+        lane = jax.lax.broadcasted_iota(jnp.int32, (MID, 128), 1)
+        sh = (128 - k) if reverse else k  # pltpu.roll needs shift >= 0
+        out = []
+        for c, idv in zip(xs, id_vals):
+            rolled = pltpu.roll(c, sh, 1)
+            keep = (lane <= 127 - k) if reverse else (lane >= k)
+            out.append(jnp.where(keep, rolled, jnp.asarray(idv, dtype)))
+        return out
+
+    def shift_row(xs, k):
+        """Shift by k rows, identity past the dim-segment boundary."""
+        row = jax.lax.broadcasted_iota(jnp.int32, (MID, 128), 0)
+        seg = row % RPD
+        sh = (MID - k) if reverse else k
+        out = []
+        for c, idv in zip(xs, id_vals):
+            rolled = pltpu.roll(c, sh, 0)
+            keep = (seg <= RPD - 1 - k) if reverse else (seg >= k)
+            out.append(jnp.where(keep, rolled, jnp.asarray(idv, dtype)))
+        return out
+
+    def comb(a_list, b_list):
+        return pack(combine(unpack(a_list), unpack(b_list)))
+
+    def kernel(*refs):
+        xs = [r[...] for r in refs[:n_comp]]
+        outs = refs[n_comp:]
+        # (i) per-row inclusive lane scan
+        k = 1
+        while k < 128:
+            xs = comb(shift_lane(xs, k), xs)
+            k *= 2
+        # (ii) row totals (the full-row composition sits at the last
+        # lane forward / first lane reversed), broadcast across lanes
+        edge = (slice(None), slice(0, 1)) if reverse \
+            else (slice(None), slice(127, 128))
+        tb = [jnp.broadcast_to(c[edge], (MID, 128)) for c in xs]
+        k = 1
+        while k < RPD:
+            tb = comb(shift_row(tb, k), tb)
+            k *= 2
+        # (iii) inclusive -> exclusive
+        carry = shift_row(tb, 1)
+        lane_excl = shift_lane(xs, 1)
+        res = comb(carry, lane_excl)
+        for o, c in zip(outs, res):
+            o[...] = c
+
+    return pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_comp)
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_comp)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((MID, 128), dtype) for _ in range(n_comp)
+        ],
+        interpret=interpret,
+    )(*totals)
+
+
 def fused_filter(sys, want_moments: bool = True):
     """Run the fused forward filter for a CtcrwSystem.
 
@@ -258,26 +355,36 @@ def fused_filter(sys, want_moments: bool = True):
         interpret=_interpret(),
     )(h_arr, *tiles)
 
-    # ---- phase 2 (XLA, tiny): exclusive prefix across blocks per dim ----
-    def to_dnb(x):
-        return x.reshape(lanes)[: d * NB].reshape(d, NB)
-
-    tot_dnb = [to_dnb(x) for x in totals]
-    incl = jax.lax.associative_scan(
-        _combine2, _unpack_elem_full(tot_dnb), axis=-1
-    )
-    incl_flat = _pack_elem(incl)
-    excl = [
-        jnp.concatenate(
-            [jnp.full((d, 1), _ID_VALS[i], dtype), x[:, :-1]], axis=1
+    # ---- phase 2: exclusive prefix across blocks per dim ----
+    RPD = NB // 128
+    if NB % 128 == 0 and RPD & (RPD - 1) == 0:
+        # single-launch in-kernel scan (the XLA associative_scan
+        # unrolls to thousands of tiny HLOs; see _block_prefix_pallas)
+        excl_tiles = _block_prefix_pallas(
+            list(totals), _ID_VALS, _unpack_elem_full, _pack_elem,
+            _combine2, NB, MID, dtype, reverse=False,
+            interpret=_interpret(),
         )
-        for i, x in enumerate(incl_flat)
-    ]
+    else:  # XLA fallback for exotic lane packings
+        def to_dnb(x):
+            return x.reshape(lanes)[: d * NB].reshape(d, NB)
 
-    def from_dnb(x):
-        return x.reshape(lanes).reshape(MID, 128)
+        tot_dnb = [to_dnb(x) for x in totals]
+        incl = jax.lax.associative_scan(
+            _combine2, _unpack_elem_full(tot_dnb), axis=-1
+        )
+        incl_flat = _pack_elem(incl)
+        excl = [
+            jnp.concatenate(
+                [jnp.full((d, 1), _ID_VALS[i], dtype), x[:, :-1]], axis=1
+            )
+            for i, x in enumerate(incl_flat)
+        ]
 
-    excl_tiles = [from_dnb(x) for x in excl]
+        def from_dnb(x):
+            return x.reshape(lanes).reshape(MID, 128)
+
+        excl_tiles = [from_dnb(x) for x in excl]
 
     # ---- kernel 2: seeded re-scan, moments + llk ----
     def scan_kernel(h_ref, *refs):
@@ -599,21 +706,31 @@ def fused_backward(sys, m_f, P_f, gbar):
     )(h_arr, *tiles)
 
     # ---- phase 2: exclusive SUFFIX composition across blocks ----
-    def to_dnb(x):
-        return x.reshape(lanes).reshape(d, NB)
-
-    tot_dnb = [to_dnb(x) for x in totals]
-    flipped = jax.tree.map(lambda x: jnp.flip(x, axis=-1), _unpack_sm(tot_dnb))
-    incl = jax.lax.associative_scan(_combine2_rev, flipped, axis=-1)
-    incl = jax.tree.map(lambda x: jnp.flip(x, axis=-1), incl)
-    incl_flat = _pack_sm(incl)
-    excl = [
-        jnp.concatenate(
-            [x[:, 1:], jnp.full((d, 1), _ID_SM[i], dtype)], axis=1
+    RPD = NB // 128
+    if NB % 128 == 0 and RPD & (RPD - 1) == 0:
+        excl_tiles = _block_prefix_pallas(
+            list(totals), _ID_SM, _unpack_sm, _pack_sm,
+            _combine2_rev, NB, MID, dtype, reverse=True,
+            interpret=_interpret(),
         )
-        for i, x in enumerate(incl_flat)
-    ]
-    excl_tiles = [x.reshape(lanes).reshape(MID, 128) for x in excl]
+    else:
+        def to_dnb(x):
+            return x.reshape(lanes).reshape(d, NB)
+
+        tot_dnb = [to_dnb(x) for x in totals]
+        flipped = jax.tree.map(
+            lambda x: jnp.flip(x, axis=-1), _unpack_sm(tot_dnb)
+        )
+        incl = jax.lax.associative_scan(_combine2_rev, flipped, axis=-1)
+        incl = jax.tree.map(lambda x: jnp.flip(x, axis=-1), incl)
+        incl_flat = _pack_sm(incl)
+        excl = [
+            jnp.concatenate(
+                [x[:, 1:], jnp.full((d, 1), _ID_SM[i], dtype)], axis=1
+            )
+            for i, x in enumerate(incl_flat)
+        ]
+        excl_tiles = [x.reshape(lanes).reshape(MID, 128) for x in excl]
 
     # ---- kernel 4: seeded backward re-scan + score emission ----
     def score_kernel(h_ref, *refs):
