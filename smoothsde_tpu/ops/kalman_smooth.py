@@ -171,7 +171,11 @@ def llk2_analytic(sys, scan: str = "auto"):
         if scan == "fused":
             from smoothsde_tpu.ops.ctcrw_fused import fused_filter
 
-            return fused_filter(sys2, want_moments=True)
+            # moments stay in the kernel's tiled layout: the backward
+            # consumes them directly, skipping an untile/retile pair
+            return fused_filter(
+                sys2, want_moments=True, tiled_moments=True
+            )
         elem = _build_elem2(
             Ft, ct, Qt, yd, h, reset, update, p0_pos, p0_vel
         )
