@@ -258,15 +258,30 @@ def diag_fused_loglik(sys: DiagSystem):
             interpret=_interpret(),
         )(h_arr, *tiles)
 
-        tot_dnb = tuple(x.reshape(lanes).reshape(d, NB) for x in totals)
-        incl = jax.lax.associative_scan(_comb1, tot_dnb, axis=-1)
-        excl = [
-            jnp.concatenate(
-                [jnp.full((d, 1), _ID1[i], dtype), x[:, :-1]], axis=1
+        RPD = NB // 128
+        if NB % 128 == 0 and RPD & (RPD - 1) == 0:
+            # single-launch cross-block scan (the XLA associative_scan
+            # unrolls into thousands of tiny HLOs; ctcrw_fused)
+            from smoothsde_tpu.ops.ctcrw_fused import _block_prefix_pallas
+
+            excl_tiles = _block_prefix_pallas(
+                list(totals), list(_ID1), tuple, list, _comb1,
+                NB, MID, dtype, reverse=False, interpret=_interpret(),
             )
-            for i, x in enumerate(incl)
-        ]
-        excl_tiles = [x.reshape(lanes).reshape(MID, 128) for x in excl]
+        else:
+            tot_dnb = tuple(
+                x.reshape(lanes).reshape(d, NB) for x in totals
+            )
+            incl = jax.lax.associative_scan(_comb1, tot_dnb, axis=-1)
+            excl = [
+                jnp.concatenate(
+                    [jnp.full((d, 1), _ID1[i], dtype), x[:, :-1]], axis=1
+                )
+                for i, x in enumerate(incl)
+            ]
+            excl_tiles = [
+                x.reshape(lanes).reshape(MID, 128) for x in excl
+            ]
 
         def scan_kernel(h_ref, *refs):
             ins = _Tiles1(*refs[:6])
@@ -407,17 +422,31 @@ def diag_fused_loglik(sys: DiagSystem):
             interpret=_interpret(),
         )(h_arr, *tiles)
 
-        tot_dnb = tuple(x.reshape(lanes).reshape(d, NB) for x in totals)
-        flipped = jax.tree.map(lambda x: jnp.flip(x, -1), tot_dnb)
-        incl = jax.lax.associative_scan(_comb1_rev, flipped, axis=-1)
-        incl = jax.tree.map(lambda x: jnp.flip(x, -1), incl)
-        excl = [
-            jnp.concatenate(
-                [x[:, 1:], jnp.full((d, 1), _ID1_SM[i], dtype)], axis=1
+        RPD = NB // 128
+        if NB % 128 == 0 and RPD & (RPD - 1) == 0:
+            from smoothsde_tpu.ops.ctcrw_fused import _block_prefix_pallas
+
+            excl_tiles = _block_prefix_pallas(
+                list(totals), list(_ID1_SM), tuple, list, _comb1_rev,
+                NB, MID, dtype, reverse=True, interpret=_interpret(),
             )
-            for i, x in enumerate(incl)
-        ]
-        excl_tiles = [x.reshape(lanes).reshape(MID, 128) for x in excl]
+        else:
+            tot_dnb = tuple(
+                x.reshape(lanes).reshape(d, NB) for x in totals
+            )
+            flipped = jax.tree.map(lambda x: jnp.flip(x, -1), tot_dnb)
+            incl = jax.lax.associative_scan(_comb1_rev, flipped, axis=-1)
+            incl = jax.tree.map(lambda x: jnp.flip(x, -1), incl)
+            excl = [
+                jnp.concatenate(
+                    [x[:, 1:], jnp.full((d, 1), _ID1_SM[i], dtype)],
+                    axis=1,
+                )
+                for i, x in enumerate(incl)
+            ]
+            excl_tiles = [
+                x.reshape(lanes).reshape(MID, 128) for x in excl
+            ]
 
         def score_kernel(h_ref, *refs):
             ins = refs[:10]
