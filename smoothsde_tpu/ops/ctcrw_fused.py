@@ -531,19 +531,15 @@ def _smooth_elem(t, l):
 
     Exploits Fn[0][0] = 1, Fn[1][0] = 0. Returns (Smooth2, G-tuple)
     with G the unmasked RTS gain (used by the lag-one covariance)."""
-    f01 = t.fn01[l]
-    f11 = t.fn11[l]
-    q00 = t.qn00[l]
-    q01 = t.qn01[l]
-    q11 = t.qn11[l]
-    c0 = t.cn0[l]
-    c1 = t.cn1[l]
-    m0 = t.m0[l]
-    m1 = t.m1[l]
-    P00 = t.Pf00[l]
-    P01 = t.Pf01[l]
-    P11 = t.Pf11[l]
-    TE = t.te[l]
+    return _smooth_elem_vals(
+        t.fn01[l], t.fn11[l], t.qn00[l], t.qn01[l], t.qn11[l],
+        t.cn0[l], t.cn1[l], t.m0[l], t.m1[l],
+        t.Pf00[l], t.Pf01[l], t.Pf11[l], t.te[l],
+    )
+
+
+def _smooth_elem_vals(f01, f11, q00, q01, q11, c0, c1,
+                      m0, m1, P00, P01, P11, TE):
 
     # Pp = Fn P Fn' + Qn  (row0 of Fn = (1, f01), row1 = (0, f11))
     Pp00 = P00 + 2.0 * f01 * P01 + f01 * f01 * P11 + q00
@@ -918,3 +914,394 @@ def fused_backward(sys, m_f, P_f, gbar):
     )
     ybar = c_y
     return Ftbar, ctbar, Qtbar, ybar, hbar.reshape(jnp.shape(sys.h))
+
+
+class _BwdParTiles(NamedTuple):
+    """Inputs for the PARAMETER-SPACE backward kernels. Slot i carries
+    par/dt at i (the transition LEAVING i, entering i+1); the kernels
+    rebuild the transition pieces from par in-register instead of
+    reading 7 precomputed element tiles."""
+
+    lt: jax.Array  # log tau, broadcast over dims
+    ln: jax.Array  # log nu
+    dtv: jax.Array  # f64-derived step interval
+    mu: jax.Array  # per-dim drift target
+    m0: jax.Array
+    m1: jax.Array
+    Pf00: jax.Array
+    Pf01: jax.Array
+    Pf11: jax.Array
+    te: jax.Array  # track end (f32)
+    tvn: jax.Array  # transition i->i+1 has a density (f32)
+    y: jax.Array
+    upd: jax.Array
+    rst: jax.Array
+
+
+def _par_terms(t, l):
+    """Recompute the slot-l transition pieces from par rows.
+
+    Same op sequence as kalman_soa._ctcrw_system +
+    stable.ctcrw_transition_terms so the values match the forward
+    kernels' element tiles; masked to the identity element at reset
+    slots (R = 1) exactly like the sb-shifted tiles of the
+    element-space backward. Padding slots (lt = ln = dtv = mu = 0)
+    evaluate to the identity element with no extra masking
+    (u = 0 -> e1 = 1, m1 = 0, phi = psi = 0)."""
+    from smoothsde_tpu.ops.stable import em1_psi_phi_kernel
+
+    lt = t.lt[l]
+    ln = t.ln[l]
+    dtv = t.dtv[l]
+    m = t.mu[l]
+    R = t.rst[l]
+    tau = jnp.exp(lt)
+    beta = 1.0 / tau
+    nu = jnp.exp(ln)
+    sigma2 = 4.0 * nu * nu / (jnp.pi * tau)
+    u = beta * dtv
+    e1, m1, psi_u, phi_u = em1_psi_phi_kernel(u)
+    g = m1 / beta
+    s3 = sigma2 / (beta * beta * beta)
+    s2 = sigma2 / (2.0 * beta * beta)
+    s1 = sigma2 / (2.0 * beta)
+    q00 = s3 * phi_u
+    q01 = s2 * (m1 * m1)
+    q11 = s1 * (m1 * (1.0 + e1))
+    bp = psi_u / beta
+    bv = m1
+    nR = 1.0 - R
+    return dict(
+        f01=nR * g, f11=R + nR * e1,
+        q00=nR * q00, q01=nR * q01, q11=nR * q11,
+        c0=nR * bp * m, c1=nR * bv * m,
+        # unmasked intermediates for the chain rule (TVn masks the
+        # score, and TVn = 0 wherever R = 1)
+        u=u, e1=e1, m1=m1, g=g, bp=bp, bv=bv, dtv=dtv, m=m,
+        s1=s1, s2=s2, s3=s3, uq00=q00, uq01=q01, uq11=q11,
+    )
+
+
+def _smooth_elem_par(t, l, w):
+    return _smooth_elem_vals(
+        w["f01"], w["f11"], w["q00"], w["q01"], w["q11"],
+        w["c0"], w["c1"], t.m0[l], t.m1[l],
+        t.Pf00[l], t.Pf01[l], t.Pf11[l], t.te[l],
+    )
+
+
+def fused_backward_par(yd, h, reset, prev_reset, update, p0_pos, p0_vel,
+                       mu, lt, ln, dt, m_f, gbar):
+    """Parameter-space fused smoother + score.
+
+    Same two-kernel structure as fused_backward, but the kernels
+    rebuild the transition pieces from (log tau, log nu, mu, dt) tiles
+    in-register and contract the Fisher cotangents through the
+    par -> (F, Q, c) chain rule analytically (phi' = em1^2,
+    psi' = em1). This removes the 7 sb-shifted element input tiles,
+    emits 4 cotangent arrays instead of 8, and eliminates the XLA
+    transpose chain of the element build (par cotangents land at slot
+    i directly: the transition leaving i is built from par[i], so no
+    forward shift or where-mask transposes remain).
+
+    mu (d, n); lt/ln/dt (n,); m_f the 5 tiled filtered-moment arrays
+    from fused_filter(tiled_moments=True).
+    Returns (mubar (d, n), ltbar (n,), lnbar (n,), ybar (d, n), hbar).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d, n = yd.shape
+    dtype = yd.dtype
+    p0_pos = float(p0_pos)
+
+    base = 1024 // int(np.gcd(d, 1024))
+    NB = base
+    while NB * 2 <= min(2048, max(n, base)):
+        NB *= 2
+    L = -(-n // NB)
+    L_CH = 16
+    L_pad = -(-L // L_CH) * L_CH
+    lanes = d * NB
+    MID = lanes // 128
+    n_lc = L_pad // L_CH
+    grid = (MID // 8, n_lc)
+
+    bc = lambda x: jnp.broadcast_to(x, (d, n))  # noqa: E731
+    sb = lambda x: jnp.concatenate(  # noqa: E731  shift BACK (i+1 -> i)
+        [x[..., 1:], jnp.zeros(x.shape[:-1] + (1,), x.dtype)], axis=-1
+    )
+
+    te = jnp.concatenate([reset[1:], jnp.ones((1,), bool)])
+    tv = (~reset) & (~prev_reset)
+    tvn = sb(tv.astype(dtype))
+
+    raw = [
+        bc(lt.astype(dtype)), bc(ln.astype(dtype)),
+        bc(jnp.asarray(dt, dtype)), mu.astype(dtype),
+        bc(te.astype(dtype)), bc(tvn),
+        yd, bc(update.astype(dtype)), bc(reset.astype(dtype)),
+    ]
+    # zero padding everywhere: zero par/dt evaluates to the identity
+    # element in _par_terms, and zero te/tvn/upd/rst masks the scores
+    pad_vals = [0.0] * 9
+
+    def to_tiles(x, pv):
+        pad_n = NB * L - n
+        if pad_n:
+            x = jnp.concatenate(
+                [x, jnp.full((d, pad_n), pv, dtype)], axis=1
+            )
+        x = x.reshape(d, NB, L)
+        x = jnp.moveaxis(x, -1, 0).reshape(L, lanes)
+        if L_pad != L:
+            x = jnp.concatenate(
+                [x, jnp.full((L_pad - L, lanes), pv, dtype)], axis=0
+            )
+        return x.reshape(L_pad, MID, 128)
+
+    rest = [to_tiles(x, pv) for x, pv in zip(raw, pad_vals)]
+    # m_f comes straight from fused_filter's kernel 2 in tiled layout;
+    # padded slots hold real pos-def filter states which form identity
+    # smoothing elements under te = 0 / identity transitions (see
+    # fused_backward)
+    tiles = _BwdParTiles(*rest[:4], *list(m_f), *rest[4:])
+    h_arr = jnp.asarray(h, dtype).reshape(1, 1)
+
+    rev_spec = pl.BlockSpec(
+        (L_CH, 8, 128),
+        lambda m, lc: (n_lc - 1 - lc, m, 0),
+        memory_space=pltpu.VMEM,
+    )
+    tot_spec = pl.BlockSpec(
+        (8, 128), lambda m, lc: (m, 0), memory_space=pltpu.VMEM
+    )
+    h_spec = pl.BlockSpec(
+        (1, 1), lambda m, lc: (0, 0), memory_space=pltpu.SMEM
+    )
+
+    # ---- kernel 3: backward block totals ----
+    def sm_totals_kernel(h_ref, *refs):
+        ins = _BwdParTiles(*refs[:14])
+        outs = refs[14 : 14 + _N_SM]
+        car = refs[14 + _N_SM :]
+        lc = pl.program_id(1)
+
+        @pl.when(lc == 0)
+        def _():
+            for i in range(_N_SM):
+                car[i][...] = jnp.full((8, 128), _ID_SM[i], dtype)
+
+        acc = _unpack_sm([r[...] for r in car])
+        for l in reversed(range(L_CH)):
+            w = _par_terms(ins, l)
+            e, _ = _smooth_elem_par(ins, l, w)
+            acc = _combine2_rev(acc, e)
+        new = _pack_sm(acc)
+        for i in range(_N_SM):
+            car[i][...] = new[i]
+
+        @pl.when(lc == n_lc - 1)
+        def _():
+            for i in range(_N_SM):
+                outs[i][...] = car[i][...]
+
+    totals = pl.pallas_call(
+        sm_totals_kernel,
+        grid=grid,
+        in_specs=[h_spec] + [rev_spec] * 14,
+        out_specs=[tot_spec] * _N_SM,
+        out_shape=[jax.ShapeDtypeStruct((MID, 128), dtype)] * _N_SM,
+        scratch_shapes=[pltpu.VMEM((8, 128), dtype)] * _N_SM,
+        interpret=_interpret(),
+    )(h_arr, *tiles)
+
+    # ---- phase 2: exclusive SUFFIX composition across blocks ----
+    RPD = NB // 128
+    if NB % 128 == 0 and RPD & (RPD - 1) == 0:
+        excl_tiles = _block_prefix_pallas(
+            list(totals), _ID_SM, _unpack_sm, _pack_sm,
+            _combine2_rev, NB, MID, dtype, reverse=True,
+            interpret=_interpret(),
+        )
+    else:
+        def to_dnb(x):
+            return x.reshape(lanes).reshape(d, NB)
+
+        tot_dnb = [to_dnb(x) for x in totals]
+        flipped = jax.tree.map(
+            lambda x: jnp.flip(x, axis=-1), _unpack_sm(tot_dnb)
+        )
+        incl = jax.lax.associative_scan(_combine2_rev, flipped, axis=-1)
+        incl = jax.tree.map(lambda x: jnp.flip(x, axis=-1), incl)
+        incl_flat = _pack_sm(incl)
+        excl = [
+            jnp.concatenate(
+                [x[:, 1:], jnp.full((d, 1), _ID_SM[i], dtype)], axis=1
+            )
+            for i, x in enumerate(incl_flat)
+        ]
+        excl_tiles = [x.reshape(lanes).reshape(MID, 128) for x in excl]
+
+    # ---- kernel 4: seeded backward re-scan + par-space score ----
+    def score_kernel(h_ref, *refs):
+        ins = _BwdParTiles(*refs[:14])
+        pref = refs[14 : 14 + _N_SM]
+        cot = refs[14 + _N_SM : 14 + _N_SM + 4]
+        hbar_out = refs[14 + _N_SM + 4]
+        car = refs[14 + _N_SM + 5 : 14 + _N_SM + 5 + _N_SM]
+        hacc = refs[14 + _N_SM + 5 + _N_SM]
+        lc = pl.program_id(1)
+        h = h_ref[0, 0]
+
+        @pl.when(lc == 0)
+        def _():
+            for i in range(_N_SM):
+                car[i][...] = pref[i][...]
+            hacc[...] = jnp.zeros((8, 128), dtype)
+
+        acc = _unpack_sm([r[...] for r in car])
+        ha = hacc[...]
+        for l in reversed(range(L_CH)):
+            # smoothed at i+1 is the incoming accumulator
+            ms1_0, ms1_1 = acc.g
+            Ps1_00, Ps1_01 = acc.L[0]
+            Ps1_11 = acc.L[1][1]
+            w = _par_terms(ins, l)
+            e, G = _smooth_elem_par(ins, l, w)
+            acc = _combine2_rev(acc, e)
+            ms0, ms1 = acc.g  # smoothed at i
+            Ps00, Ps01 = acc.L[0]
+            Ps11 = acc.L[1][1]
+
+            TVn = ins.tvn[l]
+            f01 = w["f01"]
+            f11 = w["f11"]
+            c0 = w["c0"]
+            c1 = w["c1"]
+            # sanitized Qn inverse
+            q00 = TVn * w["q00"] + (1.0 - TVn)
+            q01 = TVn * w["q01"]
+            q11 = TVn * w["q11"] + (1.0 - TVn)
+            det = q00 * q11 - q01 * q01
+            qi00 = q11 / det
+            qi01 = -q01 / det
+            qi11 = q00 / det
+
+            # lag-one Cov(x_{i+1}, x_i | y) = P_s_{i+1} G'
+            C00 = Ps1_00 * G[0] + Ps1_01 * G[1]
+            C01 = Ps1_00 * G[2] + Ps1_01 * G[3]
+            C10 = Ps1_01 * G[0] + Ps1_11 * G[1]
+            C11 = Ps1_01 * G[2] + Ps1_11 * G[3]
+            # E[x_i x_i'] and E[x_{i+1} x_i']
+            Exx00 = Ps00 + ms0 * ms0
+            Exx01 = Ps01 + ms0 * ms1
+            Exx11 = Ps11 + ms1 * ms1
+            Ex2x00 = C00 + ms1_0 * ms0
+            Ex2x01 = C01 + ms1_0 * ms1
+            Ex2x10 = C10 + ms1_1 * ms0
+            Ex2x11 = C11 + ms1_1 * ms1
+            # r = m_{i+1} - Fn m_i - cn ; Fn rows (1, f01), (0, f11)
+            Fm0 = ms0 + f01 * ms1
+            Fm1 = f11 * ms1
+            r0 = ms1_0 - Fm0 - c0
+            r1 = ms1_1 - Fm1 - c1
+
+            # Fbar = Qinv (Ex2x1 - Fn Exx - cn m_i')   [needs rows]
+            T01 = Ex2x01 - (Exx01 + f01 * Exx11) - c0 * ms1
+            T11 = Ex2x11 - f11 * Exx11 - c1 * ms1
+            Fb01 = qi00 * T01 + qi01 * T11
+            Fb11 = qi01 * T01 + qi11 * T11
+            # cbar = Qinv r
+            cb0 = qi00 * r0 + qi01 * r1
+            cb1 = qi01 * r0 + qi11 * r1
+            # E[r r'] = P_{i+1} + Fn P_i Fn' - C Fn' - Fn C' + r r'
+            FP00 = Ps00 + 2.0 * f01 * Ps01 + f01 * f01 * Ps11
+            FP01 = f11 * (Ps01 + f01 * Ps11)
+            FP11 = f11 * f11 * Ps11
+            CF00 = C00 + f01 * C01
+            CF01 = f11 * C01
+            CF10 = C10 + f01 * C11
+            CF11 = f11 * C11
+            E00 = Ps1_00 + FP00 - 2.0 * CF00 + r0 * r0
+            E01 = Ps1_01 + FP01 - CF01 - CF10 + r0 * r1
+            E11 = Ps1_11 + FP11 - 2.0 * CF11 + r1 * r1
+            # Qbar = 0.5 (Qinv Errt Qinv - Qinv)
+            A00 = qi00 * E00 + qi01 * E01
+            A01 = qi00 * E01 + qi01 * E11
+            A10 = qi01 * E00 + qi11 * E01
+            A11 = qi01 * E01 + qi11 * E11
+            Qb00 = 0.5 * ((A00 * qi00 + A01 * qi01) - qi00)
+            Qb01 = 0.5 * ((A00 * qi01 + A01 * qi11) - qi01)
+            Qb11 = 0.5 * ((A10 * qi01 + A11 * qi11) - qi11)
+
+            # ---- par -> (F, Q, c) chain rule, all closed-form ----
+            u = w["u"]
+            e1 = w["e1"]
+            m1 = w["m1"]
+            ue1 = u * e1
+            # d/d(log tau): g = tau*em1, e1' = u e1; q terms carry the
+            # tau powers of sigma2/beta^k; phi' = em1^2, psi' = em1
+            dg = w["g"] - w["dtv"] * e1
+            dq00 = 2.0 * w["uq00"] - w["s3"] * u * m1 * m1
+            dq01 = w["uq01"] - 2.0 * w["s2"] * m1 * ue1
+            dq11 = -2.0 * w["s1"] * ue1 * e1
+            dbp = w["bp"] - w["dtv"] * m1
+            # q01 feeds BOTH off-diagonal Q entries in the primal -> 2x
+            ltb = (Fb01 * dg + Fb11 * ue1
+                   + Qb00 * dq00 + 2.0 * Qb01 * dq01 + Qb11 * dq11
+                   + (cb0 * dbp - cb1 * ue1) * w["m"])
+            # all Q entries scale as nu^2
+            lnb = 2.0 * (Qb00 * w["uq00"] + 2.0 * Qb01 * w["uq01"]
+                         + Qb11 * w["uq11"])
+            mub = cb0 * w["bp"] + cb1 * w["bv"]
+
+            cot[0][l] = TVn * mub
+            cot[1][l] = TVn * ltb
+            cot[2][l] = TVn * lnb
+
+            # obs + prior score at i (gbar scaling applied outside)
+            U = ins.upd[l]
+            R = ins.rst[l]
+            resid = ins.y[l] - ms0
+            cot[3][l] = U * (-resid / h) + R * (-resid / p0_pos)
+            Ey2 = resid * resid + Ps00
+            ha = ha + U * (0.5 * Ey2 / (h * h) - 0.5 / h)
+
+        new = _pack_sm(acc)
+        for i in range(_N_SM):
+            car[i][...] = new[i]
+        hacc[...] = ha
+
+        @pl.when(lc == n_lc - 1)
+        def _():
+            hbar_out[...] = hacc[...]
+
+    outs = pl.pallas_call(
+        score_kernel,
+        grid=grid,
+        in_specs=[h_spec] + [rev_spec] * 14 + [tot_spec] * _N_SM,
+        out_specs=[rev_spec] * 4 + [tot_spec],
+        out_shape=(
+            [jax.ShapeDtypeStruct((L_pad, MID, 128), dtype)] * 4
+            + [jax.ShapeDtypeStruct((MID, 128), dtype)]
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((8, 128), dtype)] * _N_SM
+            + [pltpu.VMEM((8, 128), dtype)]
+        ),
+        interpret=_interpret(),
+    )(h_arr, *tiles, *excl_tiles)
+
+    def from_tiles(x):
+        x = x.reshape(L_pad, lanes)[:L]
+        x = x.reshape(L, d, NB)
+        return jnp.moveaxis(x, 0, -1).reshape(d, NB * L)[:, :n]
+
+    sum_d = lambda x: jnp.sum(x, axis=0)  # noqa: E731
+    mubar = gbar * from_tiles(outs[0])  # (d, n)
+    ltbar = gbar * sum_d(from_tiles(outs[1]))  # (n,)
+    lnbar = gbar * sum_d(from_tiles(outs[2]))
+    ybar = gbar * from_tiles(outs[3])
+    hbar = gbar * jnp.sum(outs[4])
+    return mubar, ltbar, lnbar, ybar, hbar

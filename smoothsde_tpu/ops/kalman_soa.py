@@ -166,13 +166,16 @@ class CtcrwSystem(NamedTuple):
 
 
 def _ctcrw_system(par_mat, obs, times, ids, sigma_obs, p0_pos=1.0,
-                  p0_vel=10.0, dt=None) -> CtcrwSystem:
+                  p0_vel=10.0, dt=None, yd=None, h=None) -> CtcrwSystem:
     """Build the per-step SoA system + filtering elements (shared by the
     likelihood, the smoother, and the analytic-gradient core).
 
     Pass precomputed `dt` (host f64-derived, see precompute_dt) when
     available: diff() of f32-encoded absolute times quantizes the
     intervals (~3% at t ~ 3e4) and dominates long-horizon f32 error.
+    `yd`/`h` override the observation array / variance so a custom_vjp
+    core can wire its primal to those arguments (the par-space fused
+    path); values must equal what would be computed from obs/sigma_obs.
     """
     obs = jnp.asarray(obs)
     times = jnp.asarray(times)
@@ -193,7 +196,7 @@ def _ctcrw_system(par_mat, obs, times, ids, sigma_obs, p0_pos=1.0,
         dt = jnp.asarray(dt, times.dtype)
     reset = jnp.concatenate([jnp.ones((1,), bool), ids[1:] != ids[:-1]])
     valid = jnp.isfinite(obs[:, 0])
-    y = jnp.nan_to_num(obs, nan=0.0)  # (n, d)
+    y = jnp.nan_to_num(obs, nan=0.0) if yd is None else yd.T  # (n, d)
 
     mu = par_mat[:, :n_dim]  # (n, d)
     tau = jnp.exp(par_mat[:, n_dim])
@@ -215,7 +218,8 @@ def _ctcrw_system(par_mat, obs, times, ids, sigma_obs, p0_pos=1.0,
     bp = tt["bp"][None, :] * mu.T  # (d, n) position drift
     bv = tt["bv"][None, :] * mu.T  # velocity drift
 
-    h = jnp.asarray(sigma_obs, dtype) ** 2
+    if h is None:
+        h = jnp.asarray(sigma_obs, dtype) ** 2
 
     # ---- shift to "transition entering step i" and mask resets ----
     def shift(x, fill=0.0):
@@ -393,6 +397,10 @@ def ctcrw_loglik_soa(par_mat, obs, times, ids, sigma_obs, p0_pos=1.0,
     (ops/kalman_smooth.py): backward pass = parallel RTS smoother +
     elementwise score instead of AD through the scan.
     """
+    if analytic_grad and scan == "fused":
+        return _llk2_fused_par(
+            par_mat, obs, times, ids, sigma_obs, p0_pos, p0_vel, dt
+        )
     sys = _ctcrw_system(
         par_mat, obs, times, ids, sigma_obs, p0_pos, p0_vel, dt=dt
     )
@@ -406,6 +414,81 @@ def ctcrw_loglik_soa(par_mat, obs, times, ids, sigma_obs, p0_pos=1.0,
         return fused_filter(sys, want_moments=False)[0]
     scanned = _scan_elements(_combine2, _ID2, sys.elem, scan)
     return _llk_from_filtered(sys, scanned.b, scanned.C)
+
+
+def _llk2_fused_par(par_mat, obs, times, ids, sigma_obs, p0_pos, p0_vel,
+                    dt=None):
+    """CTCRW fused-kernel log-likelihood with the PARAMETER-SPACE
+    Fisher-identity custom_vjp.
+
+    The vjp boundary sits at (par_mat, yd, h) instead of the element
+    arrays (Ft, ct, Qt, ...): the backward kernels rebuild the
+    transition pieces from par tiles in-register and contract the
+    Fisher cotangents through the par -> element chain rule
+    analytically (ops/ctcrw_fused.fused_backward_par), so no XLA
+    jvp/transpose chain and only 4 cotangent arrays remain. Value and
+    gradient match the element-space path to fp tolerance
+    (tests/test_kalman.py TestFusedPallas)."""
+    obs = jnp.asarray(obs)
+    times = jnp.asarray(times)
+    ids = jnp.asarray(ids)
+    n, n_dim = obs.shape
+    dtype = par_mat.dtype
+
+    same_id = ids[1:] == ids[:-1]
+    if dt is None:
+        dt = jnp.concatenate(
+            [jnp.where(same_id, jnp.diff(times), 1.0),
+             jnp.ones((1,), times.dtype)]
+        )
+    else:
+        dt = jnp.asarray(dt, times.dtype)
+    reset = jnp.concatenate([jnp.ones((1,), bool), ids[1:] != ids[:-1]])
+    prev_reset = jnp.concatenate([jnp.ones((1,), bool), reset[:-1]])
+    valid = jnp.isfinite(obs[:, 0])
+    update = valid & (~reset)
+    yd0 = jnp.nan_to_num(obs, nan=0.0).T  # (d, n)
+    h0 = jnp.asarray(sigma_obs, dtype) ** 2
+
+    from smoothsde_tpu.ops.ctcrw_fused import (
+        fused_backward_par,
+        fused_filter,
+    )
+
+    @jax.custom_vjp
+    def core(par_mat, yd, h):
+        sys = _ctcrw_system(
+            par_mat, obs, times, ids, sigma_obs, p0_pos, p0_vel,
+            dt=dt, yd=yd, h=h,
+        )
+        return fused_filter(sys, want_moments=False)[0]
+
+    def core_fwd(par_mat, yd, h):
+        sys = _ctcrw_system(
+            par_mat, obs, times, ids, sigma_obs, p0_pos, p0_vel,
+            dt=dt, yd=yd, h=h,
+        )
+        llk, m_f, _ = fused_filter(
+            sys, want_moments=True, tiled_moments=True
+        )
+        return llk, (par_mat, yd, h, m_f)
+
+    def core_bwd(res, gbar):
+        par_mat, yd, h, m_f = res
+        mu = par_mat[:, :n_dim].T  # (d, n)
+        lt = par_mat[:, n_dim]
+        ln = par_mat[:, n_dim + 1]
+        mubar, ltbar, lnbar, ybar, hbar = fused_backward_par(
+            yd, h, reset, prev_reset, update, p0_pos, p0_vel,
+            mu, lt, ln, dt, m_f, gbar,
+        )
+        par_bar = jnp.concatenate(
+            [mubar.T, ltbar[:, None], lnbar[:, None]], axis=1
+        )
+        return par_bar, ybar, jnp.reshape(hbar, jnp.shape(h))
+
+    core.defvjp(core_fwd, core_bwd)
+    return core(par_mat, yd0, h0)
 
 
 def diag_ssm_loglik_soa(type, par_mat, obs, times, ids, sigma_obs,

@@ -105,6 +105,25 @@ def phi(u, xp=jnp):
     return xp.where(u < _SERIES_CUTOFF, series, direct)
 
 
+def em1_psi_phi_kernel(u, xp=jnp):
+    """(e1, em1, psi, phi) without the expm1 primitive.
+
+    Pallas TPU lowering has no expm1; inside kernels em1 must come from
+    its series below the cutoff (em1 = u - psi_series, a <= 1-bit
+    cancellation since psi < u/2 there) and from 1 - e^{-u} above it,
+    where the direct subtraction is already accurate. Matches
+    em1/psi/phi to ~1 ulp."""
+    e1 = xp.exp(-u)
+    m1d = 1.0 - e1
+    ps = u * u * _horner(u, _PSI_COEFFS)
+    ph = u * u * u * _horner(u, _PHI_COEFFS)
+    small = u < _SERIES_CUTOFF
+    m1 = xp.where(small, u - ps, m1d)
+    psi_v = xp.where(small, ps, u - m1d)
+    phi_v = xp.where(small, ph, (u - m1d) - 0.5 * m1d * m1d)
+    return e1, m1, psi_v, phi_v
+
+
 def ctcrw_transition_terms(beta, sigma2, dt, xp=jnp):
     """All CTCRW per-step transition/noise pieces in stable form.
 

@@ -481,6 +481,83 @@ class TestFusedPallas:
         assert np.isclose(float(v_f), float(v_s), rtol=1e-10)
         assert np.allclose(np.asarray(g_f), np.asarray(g_s), rtol=1e-8)
 
+    def test_fused_dims_value_and_grad(self, monkeypatch):
+        """Lane packing at d != 2 (d=1: NB=1024 exactly; d=3: lanes=3072,
+        MID=24) against the sequential AD oracle."""
+        monkeypatch.setenv("SMOOTHSDE_PALLAS_INTERPRET", "1")
+        import jax
+        from smoothsde_tpu.ops.kalman_soa import ctcrw_loglik_soa
+
+        rng = np.random.default_rng(63)
+        n = 70
+        times = np.cumsum(rng.uniform(0.2, 0.8, size=n))
+        ids = np.sort(rng.integers(0, 2, size=n))
+        for d in (1, 3):
+            obs = np.cumsum(rng.normal(size=(n, d)) * 0.3, axis=0)
+            obs[15, 0] = np.nan
+            theta = jnp.asarray(
+                np.concatenate([0.05 * np.arange(1, d + 1),
+                                [np.log(2.0), np.log(1.0)]])
+            )
+
+            def nll_fused(th, obs=obs, d=d):
+                par = jnp.broadcast_to(th, (n, d + 2))
+                return -ctcrw_loglik_soa(
+                    par, obs, times, ids, sigma_obs=0.2,
+                    scan="fused", analytic_grad=True,
+                )
+
+            def nll_seq(th, obs=obs, d=d):
+                par = jnp.broadcast_to(th, (n, d + 2))
+                steps = ctcrw_steps(
+                    par, jnp.asarray(obs), jnp.asarray(times), ids,
+                    sigma_obs=0.2,
+                )
+                return -kalman_loglik_sequential(steps)[0]
+
+            v_f, g_f = jax.value_and_grad(nll_fused)(theta)
+            v_s, g_s = jax.value_and_grad(nll_seq)(theta)
+            assert np.isclose(float(v_f), float(v_s), rtol=1e-10), d
+            assert np.allclose(np.asarray(g_f), np.asarray(g_s),
+                               rtol=1e-8), d
+
+    def test_diag_fused_dims_value_and_grad(self, monkeypatch):
+        """Scalar-state fused kernels at d != 2 observation columns."""
+        monkeypatch.setenv("SMOOTHSDE_PALLAS_INTERPRET", "1")
+        import jax
+        from smoothsde_tpu.ops.diag_fused import diag_ssm_loglik_fused
+
+        rng = np.random.default_rng(64)
+        n = 90
+        times = np.cumsum(rng.uniform(0.2, 0.8, size=n))
+        ids = np.sort(rng.integers(0, 2, size=n))
+        for d in (1, 3):
+            obs = np.cumsum(rng.normal(size=(n, d)) * 0.3, axis=0)
+            obs[11, 0] = np.nan
+            theta = jnp.asarray(
+                np.concatenate([0.05 * np.arange(1, d + 1), [0.2]])
+            )
+
+            def nll_f(th, obs=obs, d=d):
+                par = jnp.broadcast_to(th, (n, d + 1))
+                return -diag_ssm_loglik_fused(
+                    "BM_SSM", par, obs, times, ids, sigma_obs=0.3
+                )
+
+            def nll_s(th, obs=obs, d=d):
+                par = jnp.broadcast_to(th, (n, d + 1))
+                st = bm_ssm_steps(
+                    par, jnp.asarray(obs), jnp.asarray(times), ids,
+                    sigma_obs=0.3,
+                )
+                return -kalman_loglik_sequential(st)[0]
+
+            vf, gf = jax.value_and_grad(nll_f)(theta)
+            vs, gs = jax.value_and_grad(nll_s)(theta)
+            assert np.isclose(float(vf), float(vs), rtol=1e-10), d
+            assert np.allclose(np.asarray(gf), np.asarray(gs),
+                               rtol=1e-8), d
+
     def test_diag_fused_value_and_grad(self, monkeypatch):
         """Scalar-state fused kernels (BM_SSM/OU_SSM) vs the sequential
         AD oracle, including a multi-block case."""
