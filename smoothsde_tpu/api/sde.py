@@ -409,8 +409,12 @@ class SDE:
         return float(b.joint_nllk(full))
 
     def fit(self, silent: bool = True, map=None, mesh=None,
-            mesh_axis: str = "tracks", criterion: str = "ML", **kwargs):
+            mesh_axis: str = "tracks", criterion: str = "ML",
+            verbose: Optional[bool] = None, **kwargs):
         """Fit by marginal maximum likelihood (R/sde.R:683-720).
+
+        `silent`/`verbose`: the reference exposes `silent` (R/sde.R:683);
+        `verbose` is the complementary alias and wins when given.
 
         `mesh`: optional jax.sharding.Mesh (or "auto") — fit with the
         likelihood sharded across devices (see `setup`).
@@ -425,6 +429,8 @@ class SDE:
 
         if criterion not in ("ML", "REML"):
             raise ValueError("criterion must be 'ML' or 'REML'")
+        if verbose is not None:
+            silent = not verbose
         reml = criterion == "REML"
         if not silent:
             self.message()

@@ -43,6 +43,62 @@ def _interpret() -> bool:
     return bool(int(os.environ.get("SMOOTHSDE_PALLAS_INTERPRET", "0")))
 
 
+class _Row:
+    """Per-field view over a STACKED tile ref: _Row(ref, i)[l] == ref[l, i].
+
+    Lets the kernels keep their `tiles.field[l]` access pattern while all
+    per-step inputs travel as one (L_pad, k, MID, 128) array instead of k
+    separate arrays (one HBM buffer, one BlockSpec, one layout pass)."""
+
+    __slots__ = ("ref", "i")
+
+    def __init__(self, ref, i):
+        self.ref = ref
+        self.i = i
+
+    def __getitem__(self, l):
+        return self.ref[l, self.i]
+
+
+def _stack_tiles(raw, pad_vals, d, n, NB, L, L_pad, MID, dtype):
+    """Pad + transpose ALL per-step input arrays as ONE stacked tensor.
+
+    raw: list of k (d, n) arrays; pad_vals: identity-padding value per
+    array. Returns (L_pad, k, MID, 128) where row i, slot (l, m, j)
+    holds raw[i][dim, block * L + l] with lane = dim * NB + block =
+    m * 128 + j — the same tile layout to_tiles produced per-array, but
+    via one concatenate + one transpose + bitcast reshapes. The
+    per-array form unrolled to ~95 small pad/copy/reshape HLOs (~0.9 ms
+    of the 1.6 ms device time at 1M steps); the elementwise producers
+    of `raw` now fuse into a single materialization pass.
+    """
+    k = len(raw)
+    x = jnp.stack([jnp.broadcast_to(r, (d, n)).astype(dtype) for r in raw])
+    pv = jnp.asarray(pad_vals, dtype).reshape(k, 1, 1)
+    pad_n = NB * L - n
+    if pad_n:
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(pv, (k, d, pad_n))], axis=2
+        )
+    x = x.reshape(k, d, NB, L)
+    x = jnp.transpose(x, (3, 0, 1, 2)).reshape(L, k, MID, 128)
+    if L_pad != L:
+        tail = jnp.broadcast_to(
+            pv.reshape(1, k, 1, 1), (L_pad - L, k, MID, 128)
+        )
+        x = jnp.concatenate([x, tail], axis=0)
+    return x
+
+
+def _unstack_tiles(x, d, n, NB, L, L_pad, MID):
+    """Inverse of _stack_tiles for kernel OUTPUTS: (L_pad, k, MID, 128)
+    -> list of k (d, n) arrays, via one transpose."""
+    k = x.shape[1]
+    x = x[:L].reshape(L, k, d, NB)
+    x = jnp.transpose(x, (1, 2, 3, 0)).reshape(k, d, NB * L)[:, :, :n]
+    return [x[i] for i in range(k)]
+
+
 class _Tiles(NamedTuple):
     """Blocked (L_pad, MID, 128) input tiles. Lane = dim * NB + block."""
 
@@ -256,10 +312,11 @@ def fused_filter(sys, want_moments: bool = True,
     Returns (llk, m_f (2-tuple of (d, n)), P_f (2x2 tuple)) with the
     same values as the XLA SoA pipeline (tested to fp equality).
 
-    tiled_moments=True instead returns (llk, [5 tiled arrays], None)
-    in the kernel's own (L_pad, MID, 128) layout, for handing straight
-    to fused_backward without the untile/retile round trip (saves two
-    5-array transpose pipelines per evaluation).
+    tiled_moments=True instead returns (llk, moments, None) with
+    moments ONE stacked (L_pad, 5, MID, 128) array in the kernel's own
+    tile layout (rows m0, m1, P00, P01, P11), for handing straight to
+    fused_backward / fused_backward_par without the untile/retile
+    round trip.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -284,39 +341,28 @@ def fused_filter(sys, want_moments: bool = True,
     n_lc = L_pad // L_CH
     grid = (MID // 8, n_lc)
 
-    bc = lambda x: jnp.broadcast_to(x, (d, n))  # noqa: E731
-
     raw = [
-        bc(sys.Ft[0][1]), bc(sys.Ft[1][1]),
-        bc(sys.Qt[0][0]), bc(sys.Qt[0][1]), bc(sys.Qt[1][1]),
-        bc(sys.ct[0]), bc(sys.ct[1]),
+        sys.Ft[0][1], sys.Ft[1][1],
+        sys.Qt[0][0], sys.Qt[0][1], sys.Qt[1][1],
+        sys.ct[0], sys.ct[1],
         yd,
-        bc(sys.reset.astype(dtype)), bc(sys.update.astype(dtype)),
+        sys.reset.astype(dtype), sys.update.astype(dtype),
     ]
     # identity-behaving padding values per input (element -> identity):
     pad_vals = [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
 
-    def to_tiles(x, pv):
-        pad_n = NB * L - n
-        if pad_n:
-            x = jnp.concatenate(
-                [x, jnp.full((d, pad_n), pv, dtype)], axis=1
-            )
-        x = x.reshape(d, NB, L)
-        x = jnp.moveaxis(x, -1, 0).reshape(L, lanes)
-        if L_pad != L:
-            x = jnp.concatenate(
-                [x, jnp.full((L_pad - L, lanes), pv, dtype)], axis=0
-            )
-        return x.reshape(L_pad, MID, 128)
-
-    tiles = _Tiles(*[to_tiles(x, pv) for x, pv in zip(raw, pad_vals)])
+    tiles = _stack_tiles(raw, pad_vals, d, n, NB, L, L_pad, MID, dtype)
     h_arr = jnp.broadcast_to(
         jnp.asarray(sys.h, dtype).reshape(1, 1), (1, 1)
     )
 
     in_spec = pl.BlockSpec(
-        (L_CH, 8, 128), lambda m, lc: (lc, m, 0), memory_space=pltpu.VMEM
+        (L_CH, 10, 8, 128), lambda m, lc: (lc, 0, m, 0),
+        memory_space=pltpu.VMEM,
+    )
+    mom_spec = pl.BlockSpec(
+        (L_CH, 5, 8, 128), lambda m, lc: (lc, 0, m, 0),
+        memory_space=pltpu.VMEM,
     )
     tot_spec = pl.BlockSpec(
         (8, 128), lambda m, lc: (m, 0), memory_space=pltpu.VMEM
@@ -326,10 +372,10 @@ def fused_filter(sys, want_moments: bool = True,
     )
 
     # ---- kernel 1: block totals ----
-    def totals_kernel(h_ref, *refs):
-        ins = _Tiles(*refs[:10])
-        outs = refs[10 : 10 + _N_TOT]
-        car = refs[10 + _N_TOT :]
+    def totals_kernel(h_ref, in_ref, *refs):
+        ins = _Tiles(*(_Row(in_ref, i) for i in range(10)))
+        outs = refs[:_N_TOT]
+        car = refs[_N_TOT:]
         lc = pl.program_id(1)
         h = h_ref[0, 0]
 
@@ -354,12 +400,12 @@ def fused_filter(sys, want_moments: bool = True,
     totals = pl.pallas_call(
         totals_kernel,
         grid=grid,
-        in_specs=[h_spec] + [in_spec] * 10,
+        in_specs=[h_spec, in_spec],
         out_specs=[tot_spec] * _N_TOT,
         out_shape=[jax.ShapeDtypeStruct((MID, 128), dtype)] * _N_TOT,
         scratch_shapes=[pltpu.VMEM((8, 128), dtype)] * _N_TOT,
         interpret=_interpret(),
-    )(h_arr, *tiles)
+    )(h_arr, tiles)
 
     # ---- phase 2: exclusive prefix across blocks per dim ----
     RPD = NB // 128
@@ -393,13 +439,13 @@ def fused_filter(sys, want_moments: bool = True,
         excl_tiles = [from_dnb(x) for x in excl]
 
     # ---- kernel 2: seeded re-scan, moments + llk ----
-    def scan_kernel(h_ref, *refs):
-        ins = _Tiles(*refs[:10])
-        pref = refs[10 : 10 + _N_TOT]
-        m_out = refs[10 + _N_TOT : 10 + _N_TOT + 5]
-        llk_out = refs[10 + _N_TOT + 5]
-        car = refs[10 + _N_TOT + 6 : 10 + _N_TOT + 6 + _N_TOT]
-        llk_acc = refs[10 + _N_TOT + 6 + _N_TOT]
+    def scan_kernel(h_ref, in_ref, *refs):
+        ins = _Tiles(*(_Row(in_ref, i) for i in range(10)))
+        pref = refs[:_N_TOT]
+        m_out = refs[_N_TOT]
+        llk_out = refs[_N_TOT + 1]
+        car = refs[_N_TOT + 2 : _N_TOT + 2 + _N_TOT]
+        llk_acc = refs[_N_TOT + 2 + _N_TOT]
         lc = pl.program_id(1)
         h = h_ref[0, 0]
 
@@ -427,11 +473,11 @@ def fused_filter(sys, want_moments: bool = True,
 
             e = _elem_from_inputs(ins, p0_pos, p0_vel, h, l)
             c = _combine2(c, e)
-            m_out[0][l] = c.b[0]
-            m_out[1][l] = c.b[1]
-            m_out[2][l] = c.C[0][0]
-            m_out[3][l] = c.C[0][1]
-            m_out[4][l] = c.C[1][1]
+            m_out[l, 0] = c.b[0]
+            m_out[l, 1] = c.b[1]
+            m_out[l, 2] = c.C[0][0]
+            m_out[l, 3] = c.C[0][1]
+            m_out[l, 4] = c.C[1][1]
         new = _pack_elem(c)
         for i in range(_N_TOT):
             car[i][...] = new[i]
@@ -444,32 +490,31 @@ def fused_filter(sys, want_moments: bool = True,
     outs = pl.pallas_call(
         scan_kernel,
         grid=grid,
-        in_specs=[h_spec] + [in_spec] * 10 + [tot_spec] * _N_TOT,
-        out_specs=[in_spec] * 5 + [tot_spec],
+        in_specs=[h_spec, in_spec] + [tot_spec] * _N_TOT,
+        out_specs=[mom_spec, tot_spec],
         out_shape=(
-            [jax.ShapeDtypeStruct((L_pad, MID, 128), dtype)] * 5
-            + [jax.ShapeDtypeStruct((MID, 128), dtype)]
+            jax.ShapeDtypeStruct((L_pad, 5, MID, 128), dtype),
+            jax.ShapeDtypeStruct((MID, 128), dtype),
         ),
         scratch_shapes=(
             [pltpu.VMEM((8, 128), dtype)] * _N_TOT
             + [pltpu.VMEM((8, 128), dtype)]
         ),
         interpret=_interpret(),
-    )(h_arr, *tiles, *excl_tiles)
+    )(h_arr, tiles, *excl_tiles)
 
-    llk = jnp.sum(outs[5])
+    llk = jnp.sum(outs[1])
     if not want_moments:
         return llk, None, None
     if tiled_moments:
-        return llk, list(outs[:5]), None
+        # single stacked (L_pad, 5, MID, 128) array: rows are
+        # (m0, m1, P00, P01, P11), handed straight to the fused
+        # backward without leaving the kernel layout
+        return llk, outs[0], None
 
-    def from_tiles(x):
-        x = x.reshape(L_pad, lanes)[:L]  # (L, lanes)
-        x = x.reshape(L, d, NB)
-        x = jnp.moveaxis(x, 0, -1).reshape(d, NB * L)[:, :n]
-        return x
-
-    m0, m1, P00, P01, P11 = (from_tiles(x) for x in outs[:5])
+    m0, m1, P00, P01, P11 = _unstack_tiles(
+        outs[0], d, n, NB, L, L_pad, MID
+    )
     m_f = (m0, m1)
     P_f = ((P00, P01), (P01, P11))
     return llk, m_f, P_f
@@ -658,14 +703,14 @@ def fused_backward(sys, m_f, P_f, gbar):
         return x.reshape(L_pad, MID, 128)
 
     if P_f is None:
-        # m_f carries the 5 moment arrays straight from fused_filter's
-        # kernel 2, already in (L_pad, MID, 128) layout. Padded slots
-        # hold real (pos-def) filter states, which under te = 0 /
+        # m_f carries the 5 moment rows straight from fused_filter's
+        # kernel 2 as one stacked (L_pad, 5, MID, 128) array. Padded
+        # slots hold real (pos-def) filter states, which under te = 0 /
         # Fn = I / Qn = 0 still form identity smoothing elements
         # (G = P P^{-1} = I, g = m - m = 0, L = P - P = 0), so the
         # suffix composition passes them through exactly like the
         # m = 0 / P = I padding of the untiled path.
-        mtiles = list(m_f)
+        mtiles = [m_f[:, i] for i in range(5)]
     else:
         mraw = [m_f[0], m_f[1], P_f[0][0], P_f[0][1], P_f[1][1]]
         mpad = [0.0, 0.0, 1.0, 0.0, 1.0]
@@ -1027,7 +1072,6 @@ def fused_backward_par(yd, h, reset, prev_reset, update, p0_pos, p0_vel,
     n_lc = L_pad // L_CH
     grid = (MID // 8, n_lc)
 
-    bc = lambda x: jnp.broadcast_to(x, (d, n))  # noqa: E731
     sb = lambda x: jnp.concatenate(  # noqa: E731  shift BACK (i+1 -> i)
         [x[..., 1:], jnp.zeros(x.shape[:-1] + (1,), x.dtype)], axis=-1
     )
@@ -1037,40 +1081,33 @@ def fused_backward_par(yd, h, reset, prev_reset, update, p0_pos, p0_vel,
     tvn = sb(tv.astype(dtype))
 
     raw = [
-        bc(lt.astype(dtype)), bc(ln.astype(dtype)),
-        bc(jnp.asarray(dt, dtype)), mu.astype(dtype),
-        bc(te.astype(dtype)), bc(tvn),
-        yd, bc(update.astype(dtype)), bc(reset.astype(dtype)),
+        lt.astype(dtype), ln.astype(dtype),
+        jnp.asarray(dt, dtype), mu.astype(dtype),
+        te.astype(dtype), tvn,
+        yd, update.astype(dtype), reset.astype(dtype),
     ]
     # zero padding everywhere: zero par/dt evaluates to the identity
     # element in _par_terms, and zero te/tvn/upd/rst masks the scores
-    pad_vals = [0.0] * 9
-
-    def to_tiles(x, pv):
-        pad_n = NB * L - n
-        if pad_n:
-            x = jnp.concatenate(
-                [x, jnp.full((d, pad_n), pv, dtype)], axis=1
-            )
-        x = x.reshape(d, NB, L)
-        x = jnp.moveaxis(x, -1, 0).reshape(L, lanes)
-        if L_pad != L:
-            x = jnp.concatenate(
-                [x, jnp.full((L_pad - L, lanes), pv, dtype)], axis=0
-            )
-        return x.reshape(L_pad, MID, 128)
-
-    rest = [to_tiles(x, pv) for x, pv in zip(raw, pad_vals)]
-    # m_f comes straight from fused_filter's kernel 2 in tiled layout;
-    # padded slots hold real pos-def filter states which form identity
-    # smoothing elements under te = 0 / identity transitions (see
-    # fused_backward)
-    tiles = _BwdParTiles(*rest[:4], *list(m_f), *rest[4:])
+    tiles = _stack_tiles(raw, [0.0] * 9, d, n, NB, L, L_pad, MID, dtype)
+    # m_f comes straight from fused_filter's kernel 2 as one stacked
+    # (L_pad, 5, MID, 128) array; padded slots hold real pos-def filter
+    # states which form identity smoothing elements under te = 0 /
+    # identity transitions (see fused_backward)
     h_arr = jnp.asarray(h, dtype).reshape(1, 1)
 
     rev_spec = pl.BlockSpec(
-        (L_CH, 8, 128),
-        lambda m, lc: (n_lc - 1 - lc, m, 0),
+        (L_CH, 9, 8, 128),
+        lambda m, lc: (n_lc - 1 - lc, 0, m, 0),
+        memory_space=pltpu.VMEM,
+    )
+    mf_spec = pl.BlockSpec(
+        (L_CH, 5, 8, 128),
+        lambda m, lc: (n_lc - 1 - lc, 0, m, 0),
+        memory_space=pltpu.VMEM,
+    )
+    cot_spec = pl.BlockSpec(
+        (L_CH, 4, 8, 128),
+        lambda m, lc: (n_lc - 1 - lc, 0, m, 0),
         memory_space=pltpu.VMEM,
     )
     tot_spec = pl.BlockSpec(
@@ -1080,11 +1117,21 @@ def fused_backward_par(yd, h, reset, prev_reset, update, p0_pos, p0_vel,
         (1, 1), lambda m, lc: (0, 0), memory_space=pltpu.SMEM
     )
 
+    def _ins(in_ref, mf_ref):
+        return _BwdParTiles(
+            _Row(in_ref, 0), _Row(in_ref, 1),
+            _Row(in_ref, 2), _Row(in_ref, 3),
+            _Row(mf_ref, 0), _Row(mf_ref, 1), _Row(mf_ref, 2),
+            _Row(mf_ref, 3), _Row(mf_ref, 4),
+            _Row(in_ref, 4), _Row(in_ref, 5), _Row(in_ref, 6),
+            _Row(in_ref, 7), _Row(in_ref, 8),
+        )
+
     # ---- kernel 3: backward block totals ----
-    def sm_totals_kernel(h_ref, *refs):
-        ins = _BwdParTiles(*refs[:14])
-        outs = refs[14 : 14 + _N_SM]
-        car = refs[14 + _N_SM :]
+    def sm_totals_kernel(h_ref, in_ref, mf_ref, *refs):
+        ins = _ins(in_ref, mf_ref)
+        outs = refs[:_N_SM]
+        car = refs[_N_SM:]
         lc = pl.program_id(1)
 
         @pl.when(lc == 0)
@@ -1109,12 +1156,12 @@ def fused_backward_par(yd, h, reset, prev_reset, update, p0_pos, p0_vel,
     totals = pl.pallas_call(
         sm_totals_kernel,
         grid=grid,
-        in_specs=[h_spec] + [rev_spec] * 14,
+        in_specs=[h_spec, rev_spec, mf_spec],
         out_specs=[tot_spec] * _N_SM,
         out_shape=[jax.ShapeDtypeStruct((MID, 128), dtype)] * _N_SM,
         scratch_shapes=[pltpu.VMEM((8, 128), dtype)] * _N_SM,
         interpret=_interpret(),
-    )(h_arr, *tiles)
+    )(h_arr, tiles, m_f)
 
     # ---- phase 2: exclusive SUFFIX composition across blocks ----
     RPD = NB // 128
@@ -1144,13 +1191,13 @@ def fused_backward_par(yd, h, reset, prev_reset, update, p0_pos, p0_vel,
         excl_tiles = [x.reshape(lanes).reshape(MID, 128) for x in excl]
 
     # ---- kernel 4: seeded backward re-scan + par-space score ----
-    def score_kernel(h_ref, *refs):
-        ins = _BwdParTiles(*refs[:14])
-        pref = refs[14 : 14 + _N_SM]
-        cot = refs[14 + _N_SM : 14 + _N_SM + 4]
-        hbar_out = refs[14 + _N_SM + 4]
-        car = refs[14 + _N_SM + 5 : 14 + _N_SM + 5 + _N_SM]
-        hacc = refs[14 + _N_SM + 5 + _N_SM]
+    def score_kernel(h_ref, in_ref, mf_ref, *refs):
+        ins = _ins(in_ref, mf_ref)
+        pref = refs[:_N_SM]
+        cot = refs[_N_SM]
+        hbar_out = refs[_N_SM + 1]
+        car = refs[_N_SM + 2 : _N_SM + 2 + _N_SM]
+        hacc = refs[_N_SM + 2 + _N_SM]
         lc = pl.program_id(1)
         h = h_ref[0, 0]
 
@@ -1256,15 +1303,15 @@ def fused_backward_par(yd, h, reset, prev_reset, update, p0_pos, p0_vel,
                          + Qb11 * w["uq11"])
             mub = cb0 * w["bp"] + cb1 * w["bv"]
 
-            cot[0][l] = TVn * mub
-            cot[1][l] = TVn * ltb
-            cot[2][l] = TVn * lnb
+            cot[l, 0] = TVn * mub
+            cot[l, 1] = TVn * ltb
+            cot[l, 2] = TVn * lnb
 
             # obs + prior score at i (gbar scaling applied outside)
             U = ins.upd[l]
             R = ins.rst[l]
             resid = ins.y[l] - ms0
-            cot[3][l] = U * (-resid / h) + R * (-resid / p0_pos)
+            cot[l, 3] = U * (-resid / h) + R * (-resid / p0_pos)
             Ey2 = resid * resid + Ps00
             ha = ha + U * (0.5 * Ey2 / (h * h) - 0.5 / h)
 
@@ -1280,28 +1327,25 @@ def fused_backward_par(yd, h, reset, prev_reset, update, p0_pos, p0_vel,
     outs = pl.pallas_call(
         score_kernel,
         grid=grid,
-        in_specs=[h_spec] + [rev_spec] * 14 + [tot_spec] * _N_SM,
-        out_specs=[rev_spec] * 4 + [tot_spec],
+        in_specs=[h_spec, rev_spec, mf_spec] + [tot_spec] * _N_SM,
+        out_specs=[cot_spec, tot_spec],
         out_shape=(
-            [jax.ShapeDtypeStruct((L_pad, MID, 128), dtype)] * 4
-            + [jax.ShapeDtypeStruct((MID, 128), dtype)]
+            jax.ShapeDtypeStruct((L_pad, 4, MID, 128), dtype),
+            jax.ShapeDtypeStruct((MID, 128), dtype),
         ),
         scratch_shapes=(
             [pltpu.VMEM((8, 128), dtype)] * _N_SM
             + [pltpu.VMEM((8, 128), dtype)]
         ),
         interpret=_interpret(),
-    )(h_arr, *tiles, *excl_tiles)
+    )(h_arr, tiles, m_f, *excl_tiles)
 
-    def from_tiles(x):
-        x = x.reshape(L_pad, lanes)[:L]
-        x = x.reshape(L, d, NB)
-        return jnp.moveaxis(x, 0, -1).reshape(d, NB * L)[:, :n]
-
-    sum_d = lambda x: jnp.sum(x, axis=0)  # noqa: E731
-    mubar = gbar * from_tiles(outs[0])  # (d, n)
-    ltbar = gbar * sum_d(from_tiles(outs[1]))  # (n,)
-    lnbar = gbar * sum_d(from_tiles(outs[2]))
-    ybar = gbar * from_tiles(outs[3])
-    hbar = gbar * jnp.sum(outs[4])
+    c_mu, c_lt, c_ln, c_y = _unstack_tiles(
+        outs[0], d, n, NB, L, L_pad, MID
+    )
+    mubar = gbar * c_mu  # (d, n)
+    ltbar = gbar * jnp.sum(c_lt, axis=0)  # (n,)
+    lnbar = gbar * jnp.sum(c_ln, axis=0)
+    ybar = gbar * c_y
+    hbar = gbar * jnp.sum(outs[1])
     return mubar, ltbar, lnbar, ybar, hbar
