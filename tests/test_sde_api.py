@@ -31,6 +31,17 @@ class TestConstructor:
         assert sde.type() == "BM"
         assert sde.par_names() == ["mu", "sigma"]
 
+    def test_fit_verbose_alias(self, capsys):
+        """fit(verbose=) is the complement of the reference's silent=
+        and must not collide with internal kwargs (R/sde.R:683)."""
+        sde = SDE(
+            formulas={"mu": "~1", "sigma": "~1"},
+            data=_bm_data(), type="BM", response="z",
+        )
+        res = sde.fit(verbose=False, maxiter=2)
+        assert res is not None
+        assert capsys.readouterr().out == ""
+
     def test_warns_when_id_missing(self):
         data = _bm_data()
         del data["ID"]
