@@ -94,27 +94,14 @@ def _plan(d, n):
     return NB, L, L_CH, L_pad, lanes, lanes // 128, L_pad // L_CH
 
 
-def _make_tiler(d, n, NB, L, L_pad, lanes, MID, dtype):
-    def to_tiles(x, pv):
-        pad_n = NB * L - n
-        if pad_n:
-            x = jnp.concatenate(
-                [x, jnp.full((d, pad_n), pv, dtype)], axis=1
-            )
-        x = x.reshape(d, NB, L)
-        x = jnp.moveaxis(x, -1, 0).reshape(L, lanes)
-        if L_pad != L:
-            x = jnp.concatenate(
-                [x, jnp.full((L_pad - L, lanes), pv, dtype)], axis=0
-            )
-        return x.reshape(L_pad, MID, 128)
-
-    def from_tiles(x):
-        x = x.reshape(L_pad, lanes)[:L]
-        x = x.reshape(L, d, NB)
-        return jnp.moveaxis(x, 0, -1).reshape(d, NB * L)[:, :n]
-
-    return to_tiles, from_tiles
+# stacked tile layout helpers shared with the s=2 kernels: all per-step
+# inputs travel as ONE (L_pad, k, MID, 128) array (one HBM buffer, one
+# BlockSpec, one fused materialization pass)
+from smoothsde_tpu.ops.ctcrw_fused import (  # noqa: E402
+    _Row,
+    _stack_tiles,
+    _unstack_tiles,
+)
 
 
 class DiagSystem(NamedTuple):
@@ -204,18 +191,17 @@ def diag_fused_loglik(sys: DiagSystem):
         d, n = yd.shape
         dtype = yd.dtype
         NB, L, L_CH, L_pad, lanes, MID, n_lc = _plan(d, n)
-        to_tiles, from_tiles = _make_tiler(
-            d, n, NB, L, L_pad, lanes, MID, dtype
-        )
-        bc = lambda x: jnp.broadcast_to(x, (d, n))  # noqa: E731
-        raw = [bc(t), bc(q), c, yd,
-               bc(reset.astype(dtype)), bc(update.astype(dtype))]
+        raw = [t, q, c, yd, reset.astype(dtype), update.astype(dtype)]
         pad_vals = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0]
-        tiles = _Tiles1(*[to_tiles(x, pv) for x, pv in zip(raw, pad_vals)])
+        tiles = _stack_tiles(raw, pad_vals, d, n, NB, L, L_pad, MID, dtype)
         h_arr = jnp.asarray(h, dtype).reshape(1, 1)
         grid = (MID // 8, n_lc)
         in_spec = pl.BlockSpec(
-            (L_CH, 8, 128), lambda m, lc: (lc, m, 0),
+            (L_CH, 6, 8, 128), lambda m, lc: (lc, 0, m, 0),
+            memory_space=pltpu.VMEM,
+        )
+        mom_spec = pl.BlockSpec(
+            (L_CH, 2, 8, 128), lambda m, lc: (lc, 0, m, 0),
             memory_space=pltpu.VMEM,
         )
         tot_spec = pl.BlockSpec(
@@ -225,10 +211,10 @@ def diag_fused_loglik(sys: DiagSystem):
             (1, 1), lambda m, lc: (0, 0), memory_space=pltpu.SMEM
         )
 
-        def totals_kernel(h_ref, *refs):
-            ins = _Tiles1(*refs[:6])
-            outs = refs[6:11]
-            car = refs[11:]
+        def totals_kernel(h_ref, in_ref, *refs):
+            ins = _Tiles1(*(_Row(in_ref, i) for i in range(6)))
+            outs = refs[:5]
+            car = refs[5:]
             lc = pl.program_id(1)
             hh = h_ref[0, 0]
 
@@ -251,12 +237,12 @@ def diag_fused_loglik(sys: DiagSystem):
         totals = pl.pallas_call(
             totals_kernel,
             grid=grid,
-            in_specs=[h_spec] + [in_spec] * 6,
+            in_specs=[h_spec, in_spec],
             out_specs=[tot_spec] * 5,
             out_shape=[jax.ShapeDtypeStruct((MID, 128), dtype)] * 5,
             scratch_shapes=[pltpu.VMEM((8, 128), dtype)] * 5,
             interpret=_interpret(),
-        )(h_arr, *tiles)
+        )(h_arr, tiles)
 
         RPD = NB // 128
         if NB % 128 == 0 and RPD & (RPD - 1) == 0:
@@ -283,12 +269,12 @@ def diag_fused_loglik(sys: DiagSystem):
                 x.reshape(lanes).reshape(MID, 128) for x in excl
             ]
 
-        def scan_kernel(h_ref, *refs):
-            ins = _Tiles1(*refs[:6])
-            pref = refs[6:11]
-            m_out, P_out, llk_out = refs[11], refs[12], refs[13]
-            car = refs[14:19]
-            lacc = refs[19]
+        def scan_kernel(h_ref, in_ref, *refs):
+            ins = _Tiles1(*(_Row(in_ref, i) for i in range(6)))
+            pref = refs[:5]
+            mom_out, llk_out = refs[5], refs[6]
+            car = refs[7:12]
+            lacc = refs[12]
             lc = pl.program_id(1)
             hh = h_ref[0, 0]
 
@@ -307,8 +293,8 @@ def diag_fused_loglik(sys: DiagSystem):
                 u = ins.y[l] - a_pred
                 acc = acc + ins.upd[l] * (-0.5) * (jnp.log(F) + u * u / F)
                 cur = _comb1(cur, _elem1(ins, hh, p0, l))
-                m_out[l] = cur[1]
-                P_out[l] = cur[2]
+                mom_out[l, 0] = cur[1]
+                mom_out[l, 1] = cur[2]
             for i in range(5):
                 car[i][...] = cur[i]
             lacc[...] = acc
@@ -320,33 +306,34 @@ def diag_fused_loglik(sys: DiagSystem):
         outs = pl.pallas_call(
             scan_kernel,
             grid=grid,
-            in_specs=[h_spec] + [in_spec] * 6 + [tot_spec] * 5,
-            out_specs=[in_spec] * 2 + [tot_spec],
+            in_specs=[h_spec, in_spec] + [tot_spec] * 5,
+            out_specs=[mom_spec, tot_spec],
             out_shape=(
-                [jax.ShapeDtypeStruct((L_pad, MID, 128), dtype)] * 2
-                + [jax.ShapeDtypeStruct((MID, 128), dtype)]
+                jax.ShapeDtypeStruct((L_pad, 2, MID, 128), dtype),
+                jax.ShapeDtypeStruct((MID, 128), dtype),
             ),
             scratch_shapes=[pltpu.VMEM((8, 128), dtype)] * 6,
             interpret=_interpret(),
-        )(h_arr, *tiles, *excl_tiles)
-        return jnp.sum(outs[2]), from_tiles(outs[0]), from_tiles(outs[1])
+        )(h_arr, tiles, *excl_tiles)
+        # moments stay in the kernel's stacked tile layout — they are
+        # only ever consumed by core_bwd below (rows: m_f, P_f); padded
+        # slots hold real pos-def filter states, which form identity
+        # smoothing elements under t = 1 / q = 0 / te = 0 (see
+        # smooth_elem: G = 1, g = 0, L = 0)
+        return jnp.sum(outs[1]), outs[0]
 
     def core_fwd(t, q, c, yd, h):
-        llk, m_f, P_f = _fwd(t, q, c, yd, h)
-        return llk, (t, q, c, yd, h, m_f, P_f)
+        llk, mom = _fwd(t, q, c, yd, h)
+        return llk, (t, q, c, yd, h, mom)
 
     def core_bwd(res, gbar):
         import jax.experimental.pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
-        t, q, c, yd, h, m_f, P_f = res
+        t, q, c, yd, h, mom = res
         d, n = yd.shape
         dtype = yd.dtype
         NB, L, L_CH, L_pad, lanes, MID, n_lc = _plan(d, n)
-        to_tiles, from_tiles = _make_tiler(
-            d, n, NB, L, L_pad, lanes, MID, dtype
-        )
-        bc = lambda x: jnp.broadcast_to(x, (d, n))  # noqa: E731
         sb = lambda x: jnp.concatenate(  # noqa: E731
             [x[..., 1:], jnp.zeros(x.shape[:-1] + (1,), x.dtype)], axis=-1
         )
@@ -357,17 +344,26 @@ def diag_fused_loglik(sys: DiagSystem):
         tv = (~reset) & (~prev_reset)
         tvn = sb(tv.astype(dtype))
 
-        raw = [bc(sb1(t)), bc(sb(q)), sb(c), m_f, P_f,
-               bc(te.astype(dtype)), bc(tvn), yd,
-               bc(update.astype(dtype)), bc(reset.astype(dtype))]
-        # identity smoothing elements in padding: P = 1, q = 0, t = 1,
-        # te = 0 -> G = 1, g = 0, L = 0
-        pad_vals = [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0]
-        tiles = [to_tiles(x, pv) for x, pv in zip(raw, pad_vals)]
+        raw = [sb1(t), sb(q), sb(c),
+               te.astype(dtype), tvn, yd,
+               update.astype(dtype), reset.astype(dtype)]
+        # identity smoothing elements in padding: q = 0, t = 1, te = 0
+        # -> G = 1, g = 0, L = 0 (the moment rows carry real pos-def
+        # filter states in their padded slots, see _fwd)
+        pad_vals = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        tiles = _stack_tiles(raw, pad_vals, d, n, NB, L, L_pad, MID, dtype)
         h_arr = jnp.asarray(h, dtype).reshape(1, 1)
         grid = (MID // 8, n_lc)
         rev_spec = pl.BlockSpec(
-            (L_CH, 8, 128), lambda m, lc: (n_lc - 1 - lc, m, 0),
+            (L_CH, 8, 8, 128), lambda m, lc: (n_lc - 1 - lc, 0, m, 0),
+            memory_space=pltpu.VMEM,
+        )
+        mf_spec = pl.BlockSpec(
+            (L_CH, 2, 8, 128), lambda m, lc: (n_lc - 1 - lc, 0, m, 0),
+            memory_space=pltpu.VMEM,
+        )
+        cot_spec = pl.BlockSpec(
+            (L_CH, 4, 8, 128), lambda m, lc: (n_lc - 1 - lc, 0, m, 0),
             memory_space=pltpu.VMEM,
         )
         tot_spec = pl.BlockSpec(
@@ -376,6 +372,16 @@ def diag_fused_loglik(sys: DiagSystem):
         h_spec = pl.BlockSpec(
             (1, 1), lambda m, lc: (0, 0), memory_space=pltpu.SMEM
         )
+
+        def _ins(in_ref, mf_ref):
+            # field order as the kernels index it:
+            # 0 t, 1 q, 2 c, 3 m_f, 4 P_f, 5 te, 6 tvn, 7 y, 8 upd, 9 rst
+            return (
+                _Row(in_ref, 0), _Row(in_ref, 1), _Row(in_ref, 2),
+                _Row(mf_ref, 0), _Row(mf_ref, 1),
+                _Row(in_ref, 3), _Row(in_ref, 4), _Row(in_ref, 5),
+                _Row(in_ref, 6), _Row(in_ref, 7),
+            )
 
         def smooth_elem(ins, l):
             tn, qn, cn, mf, Pf, TE = (
@@ -389,10 +395,10 @@ def diag_fused_loglik(sys: DiagSystem):
             nTE = 1.0 - TE
             return (nTE * G, TE * mf + nTE * g, TE * Pf + nTE * Lm), G
 
-        def sm_totals_kernel(h_ref, *refs):
-            ins = refs[:10]
-            outs = refs[10:13]
-            car = refs[13:]
+        def sm_totals_kernel(h_ref, in_ref, mf_ref, *refs):
+            ins = _ins(in_ref, mf_ref)
+            outs = refs[:3]
+            car = refs[3:]
             lc = pl.program_id(1)
 
             @pl.when(lc == 0)
@@ -415,12 +421,12 @@ def diag_fused_loglik(sys: DiagSystem):
         totals = pl.pallas_call(
             sm_totals_kernel,
             grid=grid,
-            in_specs=[h_spec] + [rev_spec] * 10,
+            in_specs=[h_spec, rev_spec, mf_spec],
             out_specs=[tot_spec] * 3,
             out_shape=[jax.ShapeDtypeStruct((MID, 128), dtype)] * 3,
             scratch_shapes=[pltpu.VMEM((8, 128), dtype)] * 3,
             interpret=_interpret(),
-        )(h_arr, *tiles)
+        )(h_arr, tiles, mom)
 
         RPD = NB // 128
         if NB % 128 == 0 and RPD & (RPD - 1) == 0:
@@ -448,13 +454,13 @@ def diag_fused_loglik(sys: DiagSystem):
                 x.reshape(lanes).reshape(MID, 128) for x in excl
             ]
 
-        def score_kernel(h_ref, *refs):
-            ins = refs[:10]
-            pref = refs[10:13]
-            cot = refs[13:17]  # tbar qbar cbar ybar
-            hbar_out = refs[17]
-            car = refs[18:21]
-            hacc = refs[21]
+        def score_kernel(h_ref, in_ref, mf_ref, *refs):
+            ins = _ins(in_ref, mf_ref)
+            pref = refs[:3]
+            cot = refs[3]  # rows: tbar qbar cbar ybar
+            hbar_out = refs[4]
+            car = refs[5:8]
+            hacc = refs[8]
             lc = pl.program_id(1)
             hh = h_ref[0, 0]
 
@@ -485,13 +491,13 @@ def diag_fused_loglik(sys: DiagSystem):
                 cb = qi * rb
                 Err = Ps1 + tn * tn * Ps - 2.0 * tn * C + rb * rb
                 qb = 0.5 * (qi * Err * qi - qi)
-                cot[0][l] = TVn * tb
-                cot[1][l] = TVn * qb
-                cot[2][l] = TVn * cb
+                cot[l, 0] = TVn * tb
+                cot[l, 1] = TVn * qb
+                cot[l, 2] = TVn * cb
                 U = ins[8][l]
                 R = ins[9][l]
                 resid = ins[7][l] - ms
-                cot[3][l] = U * (-resid / hh) + R * (-resid / p0)
+                cot[l, 3] = U * (-resid / hh) + R * (-resid / p0)
                 ha = ha + U * (0.5 * (resid * resid + Ps) / (hh * hh)
                                - 0.5 / hh)
             for i in range(3):
@@ -505,18 +511,21 @@ def diag_fused_loglik(sys: DiagSystem):
         outs = pl.pallas_call(
             score_kernel,
             grid=grid,
-            in_specs=[h_spec] + [rev_spec] * 10 + [tot_spec] * 3,
-            out_specs=[rev_spec] * 4 + [tot_spec],
+            in_specs=[h_spec, rev_spec, mf_spec] + [tot_spec] * 3,
+            out_specs=[cot_spec, tot_spec],
             out_shape=(
-                [jax.ShapeDtypeStruct((L_pad, MID, 128), dtype)] * 4
-                + [jax.ShapeDtypeStruct((MID, 128), dtype)]
+                jax.ShapeDtypeStruct((L_pad, 4, MID, 128), dtype),
+                jax.ShapeDtypeStruct((MID, 128), dtype),
             ),
             scratch_shapes=[pltpu.VMEM((8, 128), dtype)] * 4,
             interpret=_interpret(),
-        )(h_arr, *tiles, *excl_tiles)
+        )(h_arr, tiles, mom, *excl_tiles)
 
-        c_t, c_q, c_c, c_y = (gbar * from_tiles(x) for x in outs[:4])
-        hbar = gbar * jnp.sum(outs[4])
+        c_t, c_q, c_c, c_y = (
+            gbar * x
+            for x in _unstack_tiles(outs[0], d, n, NB, L, L_pad, MID)
+        )
+        hbar = gbar * jnp.sum(outs[1])
 
         def fwd1(x):
             return jnp.concatenate(
