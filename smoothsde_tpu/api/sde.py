@@ -348,6 +348,12 @@ class SDE:
               mesh_axis: str = "tracks", reml: bool = False):
         """Build the objective bundle (TMB MakeADFun equivalent).
 
+        `kalman_impl` (SSM types): "auto" (fused Pallas + analytic
+        Fisher gradient on TPU, sequential scan elsewhere), "soa",
+        "sequential", "parallel", or "sqrt" (CTCRW square-root /
+        Cholesky-form filtering, ops/kalman_sqrt.py — the
+        accuracy-optimal path for 1M-step-scale f32 horizons).
+
         With `mesh` (a jax.sharding.Mesh, or "auto" for a
         device-count-aware mesh over every addressable device —
         parallel/batching.auto_mesh), the likelihood is evaluated

@@ -406,6 +406,30 @@ def build_objective(
                             else "sequential"
                         )
                     sobs = jnp.exp(full["log_sigma_obs"][0])
+                    if impl == "sqrt":
+                        # square-root (Cholesky-form) filtering: the
+                        # accuracy-optimal path for very long f32
+                        # horizons (ops/kalman_sqrt.py). CTCRW-only;
+                        # gradients via plain AD through the scan.
+                        if spec.type != "CTCRW":
+                            raise ValueError(
+                                "kalman_impl='sqrt' is only available "
+                                "for CTCRW (scalar-state SSMs use the "
+                                "cancellation-free moment form)"
+                            )
+                        from smoothsde_tpu.ops.kalman_sqrt import (
+                            ctcrw_loglik_sqrt,
+                        )
+
+                        scan = (
+                            "blocked"
+                            if default_filter_impl() == "parallel"
+                            else "sequential"
+                        )
+                        return ctcrw_loglik_sqrt(
+                            par_matrix(full), obs_j, times_j, ids_j,
+                            sigma_obs=sobs, scan=scan, dt=dt_j,
+                        )
                     if impl == "soa":
                         if spec.type == "CTCRW":
                             return ctcrw_loglik_soa(

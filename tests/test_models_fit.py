@@ -101,6 +101,53 @@ class TestCTCRW:
         )
         assert abs(sobs_hat - sobs_t) / sobs_t < 0.35
 
+    def test_sqrt_impl_matches_default_objective(self):
+        """kalman_impl='sqrt' (Cholesky-form filter) evaluates the same
+        joint nllk and gradient as the moment-form paths."""
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(5)
+        n = 400
+        data = {
+            "ID": np.repeat([0, 1], n // 2),
+            "time": np.tile(np.arange(n // 2) * 0.4, 2),
+            "y1": np.cumsum(rng.normal(size=n) * 0.3),
+            "y2": np.cumsum(rng.normal(size=n) * 0.3),
+        }
+        vals = {}
+        grads = {}
+        for impl in ("sequential", "sqrt"):
+            sde = SDE(
+                data=data, type="CTCRW", response=["y1", "y2"],
+                par0=[0.0, 0.0, 1.5, 1.0],
+            )
+            b = sde.setup(kalman_impl=impl)
+            outer0 = jnp.asarray(b.packer.outer_init())
+
+            def nll(o, b=b):
+                return b.joint_nllk(b.packer.unpack(o))
+
+            v, g = jax.value_and_grad(nll)(outer0)
+            vals[impl] = float(v)
+            grads[impl] = np.asarray(g)
+        assert vals["sqrt"] == pytest.approx(vals["sequential"], rel=1e-8)
+        np.testing.assert_allclose(
+            grads["sqrt"], grads["sequential"], rtol=1e-6, atol=1e-8
+        )
+
+    def test_sqrt_impl_rejects_scalar_ssm(self):
+        rng = np.random.default_rng(6)
+        n = 60
+        data = {
+            "ID": np.zeros(n, int), "time": np.arange(n, dtype=float),
+            "z": np.cumsum(rng.normal(size=n)),
+        }
+        sde = SDE(data=data, type="BM_SSM", response="z", par0=[0.0, 1.0])
+        with pytest.raises(ValueError, match="sqrt"):
+            b = sde.setup(kalman_impl="sqrt")
+            b.joint_nllk(b.packer.unpack(b.packer.outer_init()))
+
 
 class TestSSM:
     def test_bm_ssm_fit(self):
