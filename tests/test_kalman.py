@@ -413,6 +413,38 @@ class TestFusedPallas:
     """Fused Pallas filter (interpret mode on CPU): value and
     Fisher-identity gradient vs the sequential AD oracle."""
 
+    def test_stack_tiles_round_trip(self):
+        """_stack_tiles/_unstack_tiles are exact inverses for every
+        awkward (d, n) shape (block padding, L_CH padding, broadcast
+        rows)."""
+        import jax.numpy as jnp
+        from smoothsde_tpu.ops.ctcrw_fused import (
+            _stack_tiles, _unstack_tiles,
+        )
+        from smoothsde_tpu.ops.diag_fused import _plan
+
+        rng = np.random.default_rng(0)
+        for d, n in [(2, 7), (2, 1024), (2, 1500), (3, 999), (1, 130),
+                     (2, 2048 * 16 + 3)]:
+            NB, L, L_CH, L_pad, lanes, MID, n_lc = _plan(d, n)
+            k = 3
+            raw = [
+                rng.normal(size=(d, n)),          # full-rank
+                rng.normal(size=(1, n)),          # broadcast over dims
+                rng.normal(size=(d, n)),
+            ]
+            x = _stack_tiles(
+                [jnp.asarray(r) for r in raw],
+                [0.0, 1.0, -2.0], d, n, NB, L, L_pad, MID, jnp.float32,
+            )
+            assert x.shape == (L_pad, k, MID, 128)
+            back = _unstack_tiles(x, d, n, NB, L, L_pad, MID)
+            for r, b in zip(raw, back):
+                np.testing.assert_allclose(
+                    np.broadcast_to(r, (d, n)).astype(np.float32),
+                    np.asarray(b), rtol=0, atol=0,
+                )
+
     def test_fused_value_and_grad(self, monkeypatch):
         import os
         monkeypatch.setenv("SMOOTHSDE_PALLAS_INTERPRET", "1")
