@@ -117,6 +117,12 @@ def build_objective(
 
     dt_j = jnp.asarray(precompute_dt(times, ids), float)
     loglik_ad = None  # forward-mode-capable twin, set where it differs
+    # Host-side plan to batch the AD-twin's sequential filter per track
+    # (scan depth = longest track instead of total n); None when it
+    # cannot help.
+    from smoothsde_tpu.ops.kalman import track_pad_plan
+
+    track_plan = track_pad_plan(np.asarray(ids))
 
     # ---- decay-modulated splines (closed-form models only,
     #      R/sde.R:634-653, nllk_sde.hpp:47-58) ----
@@ -460,9 +466,20 @@ def build_objective(
 
                 def loglik_ad(full):
                     # Forward-mode-capable twin: per-dim sequential
-                    # lax.scan (solid vjp/jvp on every backend) for
-                    # moderate n, the plain-AD SoA blocked scan for
-                    # long sequences on TPU.
+                    # lax.scan (solid vjp/jvp at every order on every
+                    # backend) for moderate n, the plain-AD SoA
+                    # blocked scan for long sequences on TPU. The
+                    # sequential scan is latency-bound on device, so
+                    # multi-track data is batched per track (scan
+                    # depth = longest track, vmap width = tracks x
+                    # dims) — the Laplace inner loop chains 6-8 such
+                    # passes per outer eval, and cutting scan depth
+                    # 8x cut the config-4 RE fit's per-eval cost ~4x.
+                    # (The log-depth associative-scan filter is NOT
+                    # used here: jacfwd-over-vjp through
+                    # associative_scan compiles pathologically slowly
+                    # — >10 min for the config-4 marginal vs ~70 s
+                    # with the scan form.)
                     sobs = jnp.exp(full["log_sigma_obs"][0])
                     use_soa = (
                         default_filter_impl() == "parallel" and n >= 65536
@@ -487,6 +504,12 @@ def build_objective(
                             spec.type, par_matrix(full), obs_j, times_j,
                             ids_j, sigma_obs=sobs, P0=P0, dt=dt_j,
                         )
+                    if track_plan is not None:
+                        from smoothsde_tpu.ops.kalman import (
+                            batch_steps_by_track,
+                        )
+
+                        steps = batch_steps_by_track(steps, *track_plan)
                     return kalman_loglik_batched(steps, impl="sequential")
 
             else:

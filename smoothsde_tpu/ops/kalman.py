@@ -371,6 +371,68 @@ def kalman_loglik_batched(steps: KalmanSteps, impl: str = "auto"):
     return jnp.sum(jax.vmap(fn)(steps))
 
 
+def track_pad_plan(ids, max_waste: float = 2.0):
+    """Host-side plan to split concatenated multi-track steps into a
+    padded (track, step) batch.
+
+    The sequential filter over n concatenated steps is latency-bound on
+    TPU (per-scan-step dispatch dwarfs the 2x2 algebra), but tracks are
+    independent (the reference skips cross-ID transitions,
+    nllk_ctcrw.hpp:196-200) — batching them turns scan depth n into the
+    longest single track, with the track axis riding the VPU for free.
+
+    Returns (perm, pad) or None when batching cannot help: perm is an
+    (n_tracks, L_max) int32 index map into the concatenated order (each
+    row a track's positions, padded by repeating its last position) and
+    pad the matching bool mask (True at padding). None when there is a
+    single track or when padding would inflate total steps by more than
+    `max_waste` (very unequal track lengths).
+    """
+    import numpy as np
+
+    ids = np.asarray(ids)
+    n = ids.shape[0]
+    # tracks are contiguous runs of equal ID (constructor-sorted)
+    starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+    if len(starts) <= 1:
+        return None
+    bounds = np.r_[starts, n]
+    lengths = np.diff(bounds)
+    L = int(lengths.max())
+    if len(starts) * L > max_waste * n:
+        return None
+    perm = np.empty((len(starts), L), np.int32)
+    pad = np.zeros((len(starts), L), bool)
+    for k, (s, ln) in enumerate(zip(bounds[:-1], lengths)):
+        perm[k, :ln] = np.arange(s, s + ln)
+        perm[k, ln:] = s + ln - 1
+        pad[k, ln:] = True
+    return jnp.asarray(perm), jnp.asarray(pad)
+
+
+def batch_steps_by_track(steps: KalmanSteps, perm, pad) -> KalmanSteps:
+    """Reshape batched steps (leaves (B, n, *event)) into per-track
+    padded batches (leaves (B * n_tracks, L_max, *event)) per a
+    `track_pad_plan`.
+
+    Padding rows repeat the track's last step with valid/reset cleared:
+    the carry propagates through them with that step's (finite)
+    transition and they contribute zero likelihood, so the batched total
+    equals the concatenated filter's exactly.
+    """
+    K, L = perm.shape
+
+    def g(x):
+        out = x[:, perm]  # (B, K, L, *event)
+        return out.reshape((x.shape[0] * K, L) + x.shape[2:])
+
+    out = jax.tree.map(g, steps)
+    no_pad = ~pad  # (K, L)
+    B = steps.valid.shape[0]
+    flat = jnp.tile(no_pad, (B, 1))  # (B*K, L)
+    return out._replace(valid=out.valid & flat, reset=out.reset & flat)
+
+
 def kalman_innovations(steps: KalmanSteps):
     """One-step-ahead innovations for residual diagnostics.
 

@@ -660,3 +660,87 @@ class TestInnovations:
         quad = np.einsum("ni,nij,nj->n", u, np.linalg.inv(F), u)
         llk = -0.5 * np.sum((logdet + quad)[ok])
         assert np.isclose(float(llk_seq), llk, rtol=1e-10)
+
+
+class TestTrackBatching:
+    """Per-track batching of the sequential filter (ops/kalman.py
+    track_pad_plan / batch_steps_by_track): the latency fix for the
+    Laplace AD twin — scan depth drops from total n to the longest
+    track. Must be EXACT vs the concatenated filter (the reference's
+    cross-ID independence, nllk_ctcrw.hpp:196-200)."""
+
+    def _batched_problem(self, seed=7):
+        import jax
+
+        from smoothsde_tpu.ops.kalman import (
+            batch_steps_by_track,
+            kalman_loglik_batched,
+            track_pad_plan,
+        )
+
+        rng = np.random.default_rng(seed)
+        # three tracks of unequal length, missing obs in the middle one
+        lengths = [17, 5, 29]
+        n = sum(lengths)
+        ids = np.repeat(np.arange(3), lengths)
+        steps = _random_steps(rng, n, 2, 2, nan_rows=(19, 20))
+        reset = np.zeros(n, bool)
+        reset[np.cumsum([0] + lengths[:-1])] = True
+        steps = steps._replace(reset=jnp.asarray(reset))
+        # batch axis of width 2 (e.g. per-dimension blocks)
+        batched = jax.tree.map(lambda x: jnp.stack([x, x]), steps)
+        plan = track_pad_plan(ids)
+        assert plan is not None
+        perm, pad = plan
+        assert perm.shape == (3, 29) and bool(pad[1, 5]) and not bool(pad[2, 28])
+        return batched, batch_steps_by_track(batched, perm, pad), kalman_loglik_batched
+
+    def test_llk_exact(self):
+        batched, by_track, kalman_loglik_batched = self._batched_problem()
+        llk_cat = kalman_loglik_batched(batched, impl="sequential")
+        llk_trk = kalman_loglik_batched(by_track, impl="sequential")
+        assert by_track.T.shape[:2] == (6, 29)
+        assert np.isclose(float(llk_cat), float(llk_trk), rtol=1e-12)
+
+    def test_grad_and_hess_exact(self):
+        import jax
+
+        from smoothsde_tpu.ops.kalman import (
+            batch_steps_by_track,
+            kalman_loglik_batched,
+            track_pad_plan,
+        )
+
+        rng = np.random.default_rng(8)
+        lengths = [11, 23, 8]
+        n = sum(lengths)
+        ids = np.repeat(np.arange(3), lengths)
+        steps = _random_steps(rng, n, 2, 1)
+        reset = np.zeros(n, bool)
+        reset[np.cumsum([0] + lengths[:-1])] = True
+        steps = steps._replace(reset=jnp.asarray(reset))
+        batched = jax.tree.map(lambda x: x[None], steps)
+        perm, pad = track_pad_plan(ids)
+
+        def llk_cat(scale):
+            s = batched._replace(Q=batched.Q * scale)
+            return kalman_loglik_batched(s, impl="sequential")
+
+        def llk_trk(scale):
+            s = batched._replace(Q=batched.Q * scale)
+            s = batch_steps_by_track(s, perm, pad)
+            return kalman_loglik_batched(s, impl="sequential")
+
+        x = jnp.asarray(1.3)
+        assert np.isclose(float(jax.grad(llk_cat)(x)), float(jax.grad(llk_trk)(x)), rtol=1e-10)
+        h1 = jax.jacfwd(jax.grad(llk_cat))(x)
+        h2 = jax.jacfwd(jax.grad(llk_trk))(x)
+        assert np.isclose(float(h1), float(h2), rtol=1e-9)
+
+    def test_plan_declines_single_track_and_waste(self):
+        from smoothsde_tpu.ops.kalman import track_pad_plan
+
+        assert track_pad_plan(np.zeros(50, int)) is None
+        # one long + many tiny tracks: padding would inflate > 2x
+        ids = np.r_[np.zeros(1000, int), np.arange(1, 9)]
+        assert track_pad_plan(ids) is None
