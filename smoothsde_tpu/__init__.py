@@ -24,6 +24,9 @@ from smoothsde_tpu.models.registry import MODEL_TYPES, get_model_spec  # noqa: F
 # imported without pulling in the full stack.
 _LAZY = {
     "SDE": ("smoothsde_tpu.api.sde", "SDE"),
+    "enable_compilation_cache": (
+        "smoothsde_tpu.utils.cache", "enable_compilation_cache",
+    ),
     "prec_to_cov": ("smoothsde_tpu.utils.misc", "prec_to_cov"),
     "term_indices": ("smoothsde_tpu.utils.misc", "term_indices"),
     "ctcrw_cov": ("smoothsde_tpu.utils.misc", "ctcrw_cov"),

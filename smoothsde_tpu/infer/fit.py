@@ -63,7 +63,15 @@ def fit_model(
     models over a remote TPU)."""
     from scipy import optimize
 
+    from smoothsde_tpu.utils.cache import maybe_enable_default_cache
     from smoothsde_tpu.utils.profiling import StageTimer, xla_trace
+
+    # Persistent XLA compile cache: the first fit of a model shape pays
+    # the compile; later processes reuse the executable from disk (the
+    # TMB install-time-compile equivalent). Opt out with
+    # SMOOTHSDE_NO_COMPILE_CACHE=1; no-op if the user already
+    # configured a cache directory.
+    maybe_enable_default_cache()
 
     packer = bundle.packer
     marginal = make_laplace(
@@ -264,11 +272,13 @@ def _sdreport(out, bundle, packer, val_grad, fd_step, timer):
 
     # ---- outer Hessian: central differences of the exact gradient ----
     # (TMB/optimHess strategy; exact second-order AD is unavailable
-    # through the custom_vjp inner solver.) All 2*n_out gradient
-    # evaluations run inside ONE jitted lax.map dispatch — a per-point
-    # host loop costs a full host<->device round trip each (~25-30 ms
-    # through a remote-TPU tunnel), which dominated sdreport at larger
-    # n_out.
+    # through the custom_vjp inner solver.) The 2*n_out gradient
+    # evaluations reuse the ALREADY-COMPILED val_grad in a host loop:
+    # each call pays one host<->device round trip (~25-30 ms through a
+    # remote-TPU tunnel), but wrapping the sweep in a fresh
+    # jit(lax.map) recompiles the entire marginal graph — measured
+    # 45 s on the config-4 RE model to save ~0.4 s of round trips. The
+    # host loop wins until n_out reaches several hundred.
     n_out = len(x_hat)
     b_hat_j = jnp.asarray(b_hat)
     hs = fd_step * np.maximum(1.0, np.abs(x_hat))
@@ -281,16 +291,15 @@ def _sdreport(out, bundle, packer, val_grad, fd_step, timer):
     )  # (2*n_out, n_out)
 
     def _grads_at(xs):
-        def one(x):
-            (_, _), g = val_grad(x, b_hat_j)
-            return g
-
-        return jax.lax.map(one, xs)
+        out = []
+        for x in np.asarray(xs):
+            (_, _), g = val_grad(jnp.asarray(x), b_hat_j)
+            out.append(np.asarray(g))
+        return np.stack(out)
 
     with timer.stage("outer_hessian_fd"):
         if n_out:
-            grads_jit = jax.jit(_grads_at)
-            G = np.asarray(grads_jit(jnp.asarray(pts)))
+            G = _grads_at(pts)
             H = (G[:n_out] - G[n_out:]) / (2.0 * hs[:, None])
             # a perturbed point can push the inner problem into a
             # non-finite region; retry offending coordinates with a
@@ -305,7 +314,7 @@ def _sdreport(out, bundle, packer, val_grad, fd_step, timer):
                     ],
                     axis=0,
                 )
-                G2 = np.asarray(grads_jit(jnp.asarray(pts2)))
+                G2 = _grads_at(pts2)
                 H2 = (G2[:n_out] - G2[n_out:]) / (2.0 * hs2[:, None])
                 H[bad] = H2[bad]
         else:

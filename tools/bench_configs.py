@@ -189,7 +189,14 @@ def config5_cir(n=1_000_000):
 
 
 def main():
+    import os
+
     import jax
+
+    # benchmarks record COLD fresh-process fits (the number a new user
+    # sees); fit()'s auto-enabled persistent compile cache would make
+    # every re-record warm
+    os.environ.setdefault("SMOOTHSDE_NO_COMPILE_CACHE", "1")
 
     cfg = sys.argv[1]
     optimizer = sys.argv[2] if len(sys.argv) > 2 else "scipy"
