@@ -47,21 +47,40 @@ _K_WINDOW = 128  # static number of series terms (covers x < 100)
 
 
 def _log_bessel_series(x, q):
-    """Branch A: windowed power series in log space (unscaled)."""
+    """Branch A: power series via a multiplicative term recurrence.
+
+    log I_q(x) = log t_{k0} + log sum_j t_{k0+j}/t_{k0}, anchored at the
+    dominant index k0 = floor(k*), k* = (sqrt((q+1)^2+x^2)-(q+1))/2.
+    The relative terms follow t_{k+1}/t_k = (x/2)^2 / ((k+1)(q+k+1)), so
+    the whole window costs ~4 flops per term instead of two gammaln
+    evaluations per term — only the anchor pays gammaln (twice per
+    element). Terms fall off like exp(-(j-k*)^2 / k*) around the peak
+    (psi'(k) ~ 1/k curvature), so +/- _K_WINDOW//2 = 64 terms bound the
+    truncated tail below 1e-16 relative for the branch domain
+    (k* <= 46 at x < 100, q < 8).
+    """
     half = jnp.asarray(x) / 2.0
     log_half = jnp.log(jnp.maximum(half, jnp.finfo(x.dtype).tiny))
-    # Dominant term index (continuous estimate), held out of AD.
+    h2 = half * half
+    # Dominant term index (static anchor, held out of AD).
     k_star = 0.5 * (jnp.sqrt((q + 1.0) ** 2 + x**2) - (q + 1.0))
-    start = jnp.maximum(
-        jnp.floor(jax.lax.stop_gradient(k_star)) - _K_WINDOW // 2, 0.0
+    k0 = jnp.maximum(jnp.floor(jax.lax.stop_gradient(k_star)), 0.0)
+    log_anchor = (
+        (2.0 * k0 + q) * log_half
+        - gammaln(k0 + 1.0)
+        - gammaln(q + k0 + 1.0)
     )
-    ks = start[..., None] + jnp.arange(_K_WINDOW, dtype=x.dtype)
-    log_terms = (
-        (2.0 * ks + q[..., None]) * log_half[..., None]
-        - gammaln(ks + 1.0)
-        - gammaln(q[..., None] + ks + 1.0)
-    )
-    return logsumexp(log_terms, axis=-1)
+    one = jnp.ones_like(x)
+    total = one
+    rel_up = one
+    rel_dn = one
+    for j in range(1, _K_WINDOW // 2 + 1):
+        ku = k0 + j  # index of the term being added (upward)
+        rel_up = rel_up * h2 / (ku * (q + ku))
+        kd = k0 - j + 1.0  # index of the term being divided out (downward)
+        rel_dn = rel_dn * jnp.where(kd >= 1.0, kd * (q + kd) / h2, 0.0)
+        total = total + rel_up + rel_dn
+    return log_anchor + jnp.log(total)
 
 
 def _log_bessel_hankel_scaled(x, q):
