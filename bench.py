@@ -59,13 +59,18 @@ def main():
 
     fn = jax.jit(jax.value_and_grad(nllk))
 
-    # compile
+    # compile, then untimed warmup: a fresh process pays ~1 ms/call of
+    # tunnel/server warmup for the first several dozen calls, which
+    # otherwise leaks into every timing round (docs/BENCH_DETAILS.md)
     v, g = fn(theta0)
+    v.block_until_ready()
+    for _ in range(60):
+        v, g = fn(theta0)
     v.block_until_ready()
 
     reps = 30
     best = np.inf
-    for _ in range(4):
+    for _ in range(10):
         t0 = time.perf_counter()
         for _ in range(reps):
             v, g = fn(theta0)
