@@ -66,6 +66,7 @@ class ObjectiveBundle:
     joint_nllk_ad: Optional[Callable] = None  # forward-mode-capable
     innovations: Optional[Callable] = None  # SSMs: fn(full) -> (u, F, ok)
     hess_plan: Optional[dict] = None  # colored inner-Hessian plan
+    kind: str = ""  # 'closed_form' | 'ssm' (optimizer auto-selection)
 
     def __post_init__(self):
         if self.joint_nllk_ad is None:
@@ -347,9 +348,8 @@ def build_objective(
                     h, R, dep_fat, P0=P0, dt=dt_j,
                 )
 
-            def loglik(full):
-                pm = par_matrix(full)
-                llk = kalman_loglik(_steps(full), impl=kalman_impl)
+            def _eseal_prior_terms(full, pm):
+                llk = jnp.zeros(())
                 if "sigma2" in priors:
                     shape, scale = priors["sigma2"]
                     sigma0 = jnp.exp(pm[0, 1])
@@ -359,6 +359,11 @@ def build_objective(
                     tau = jnp.exp(full["log_tau"][0])
                     llk = llk + _dinvgamma_log(tau**2, shape, scale)
                 return llk
+
+            def loglik(full):
+                pm = par_matrix(full)
+                llk = kalman_loglik(_steps(full), impl=kalman_impl)
+                return llk + _eseal_prior_terms(full, pm)
 
         else:
             builder = {
@@ -549,8 +554,16 @@ def build_objective(
                 H_array=H_array, P0=P0,
             )
 
-        def loglik(full):  # noqa: F811 — replaces the single-device path
-            return sharded(full, par_matrix(full))
+        if spec.type == "ESEAL_SSM":
+            # the sharded builder covers only the data term; re-attach
+            # the (replicated, O(1)) inverse-gamma priors here
+            def loglik(full):  # noqa: F811
+                pm = par_matrix(full)
+                return sharded(full, pm) + _eseal_prior_terms(full, pm)
+
+        else:
+            def loglik(full):  # noqa: F811 — replaces the single-device path
+                return sharded(full, par_matrix(full))
 
         loglik_ad = loglik
 
@@ -615,4 +628,5 @@ def build_objective(
         joint_nllk_ad=joint_nllk_ad,
         innovations=innovations if spec.kind == "ssm" else None,
         hess_plan=hess_plan,
+        kind=spec.kind,
     )

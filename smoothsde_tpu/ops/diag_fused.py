@@ -175,6 +175,55 @@ def diag_system(type, par_mat, obs, times, ids, sigma_obs, p0=10.0, dt=None):
     )
 
 
+DIAG_IDENTITY = (1.0, 0.0, 0.0, 0.0, 0.0)
+
+
+def diag_elements(sysd: DiagSystem):
+    """Vectorized (A, b, C, eta, J) filtering elements from a
+    DiagSystem — the XLA-level SoA form (leaves (d, n)), combine with
+    `_comb1` / identity `DIAG_IDENTITY`. Shared by the time-sharded
+    scan (parallel/time_scan.py)."""
+    t, q, c, yd, h = sysd.t, sysd.q, sysd.c, sysd.yd, sysd.h
+    reset, update = sysd.reset, sysd.update
+    S = q + h
+    K = q / S
+    r = yd - c
+    A_upd = (1.0 - K) * t
+    b_upd = c + K * r
+    C_upd = (1.0 - K) * q
+    eta_upd = t * r / S
+    J_upd = t * t / S
+    zero = jnp.zeros_like(yd)
+    bc = lambda x: jnp.broadcast_to(x, yd.shape)  # noqa: E731
+    A = bc(jnp.where(reset, 0.0, jnp.where(update, A_upd, t)))
+    b = jnp.where(reset, yd, jnp.where(update, b_upd, c))
+    C = bc(jnp.where(reset, sysd.p0, jnp.where(update, C_upd, q)))
+    eta = jnp.where(update, eta_upd, zero)
+    J = bc(jnp.where(update, J_upd, zero))
+    return (A, b, C, eta, J)
+
+
+def diag_llk_from_filtered(sysd: DiagSystem, bf, Cf):
+    """Predictive log-likelihood recovery from filtered scalar moments
+    (elementwise; mirrors kalman_soa.diag_ssm_loglik_soa's tail)."""
+
+    def shift(x, fill=0.0):
+        return jnp.concatenate(
+            [jnp.full(x.shape[:-1] + (1,), fill, x.dtype), x[..., :-1]],
+            axis=-1,
+        )
+
+    m_prev = shift(bf)
+    P_prev = shift(Cf)
+    a_pred = jnp.where(sysd.reset, sysd.yd, sysd.t * m_prev + sysd.c)
+    P_pred = jnp.where(sysd.reset, sysd.p0, sysd.t**2 * P_prev + sysd.q)
+    F = P_pred + sysd.h
+    u = sysd.yd - a_pred
+    return jnp.sum(
+        jnp.where(sysd.update, -0.5 * (jnp.log(F) + u * u / F), 0.0)
+    )
+
+
 def diag_fused_loglik(sys: DiagSystem):
     """Fused forward + Fisher-identity custom_vjp log-likelihood."""
     reset, prev_reset, update = sys.reset, sys.prev_reset, sys.update

@@ -67,6 +67,27 @@ class KalmanSteps(NamedTuple):
     valid: jax.Array
 
 
+def _full_precision(fn):
+    """Trace the wrapped function under full-f32 matmul precision.
+
+    TPU's DEFAULT dot precision truncates inputs to bfloat16 before the
+    MXU — measured 27% relative gradient error on the generic-element
+    filter at n = 4096 (tools/assoc_grad_check.jsonl, round 3). The
+    filter's matmuls are tiny (s <= 4) so MXU speed is irrelevant, and
+    accuracy is load-bearing; pin every dot in this module to HIGHEST.
+    The SoA/fused kernels (ops/kalman_soa.py, ops/*_fused.py) are
+    matmul-free and unaffected.
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 def _sym(M):
     return 0.5 * (M + jnp.swapaxes(M, -1, -2))
 
@@ -111,6 +132,7 @@ def _slogdet_small(F):
     return jnp.linalg.slogdet(F)
 
 
+@_full_precision
 def kalman_loglik_sequential(steps: KalmanSteps, with_states: bool = False):
     """Sequential lax.scan filter. Returns (llk, aest_all or None).
 
@@ -178,6 +200,7 @@ class _Element(NamedTuple):
     J: jax.Array
 
 
+@_full_precision
 def _combine(e1: _Element, e2: _Element) -> _Element:
     """Composition e2 after e1 (both batched on leading axes)."""
     s = e1.A.shape[-1]
@@ -196,6 +219,7 @@ def _combine(e1: _Element, e2: _Element) -> _Element:
     return _Element(A, b, C, eta, J)
 
 
+@_full_precision
 def _build_elements(steps: KalmanSteps) -> _Element:
     """Vectorized construction of per-step filtering elements.
 
@@ -290,6 +314,7 @@ def _shifted_transitions(steps: KalmanSteps):
     return Ft, ct, Qt
 
 
+@_full_precision
 def predictive_loglik_terms(steps: KalmanSteps, m_f, P_f):
     """Per-step predictive log-density terms from filtered moments —
     one embarrassingly parallel elementwise pass."""
@@ -433,6 +458,7 @@ def batch_steps_by_track(steps: KalmanSteps, perm, pad) -> KalmanSteps:
     return out._replace(valid=out.valid & flat, reset=out.reset & flat)
 
 
+@_full_precision
 def kalman_innovations(steps: KalmanSteps):
     """One-step-ahead innovations for residual diagnostics.
 
@@ -478,6 +504,7 @@ def kalman_innovations(steps: KalmanSteps):
     return u, F, ok
 
 
+@_full_precision
 def filtered_to_reported_states(steps: KalmanSteps, m_f: jax.Array):
     """Convert filtered means to the reference's aest_all convention
     (propagated one step forward; a0 at resets), nllk_ctcrw.hpp:230-246."""

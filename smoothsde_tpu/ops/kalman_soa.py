@@ -132,9 +132,16 @@ _ID2 = Element2(
 )
 
 
-def _scan_elements(combine, identity, elem, scan: str):
+def _scan_elements(combine, identity, elem, scan: str, vary_axes=()):
     """Scan dispatch: 'blocked' two-phase lax.scan (TPU-fast, see
-    ops/scan_utils.py) or plain 'associative'."""
+    ops/scan_utils.py), plain 'associative', or 'sequential' (lax.scan
+    along the last axis — mathematically identical; the reverse-AD-safe
+    choice on the CPU backend, see ops/kalman.default_filter_impl).
+
+    vary_axes: mesh axis names to mark the sequential-scan carry as
+    varying over (required when called inside shard_map, where a
+    replicated identity cannot serve as a scan carry for varying data).
+    """
     from smoothsde_tpu.ops.scan_utils import blocked_associative_scan
 
     if scan == "auto":
@@ -145,6 +152,27 @@ def _scan_elements(combine, identity, elem, scan: str):
         return blocked_associative_scan(
             combine, identity, elem, phase1="pallas"
         )
+    if scan == "sequential":
+        tm = jax.tree.map(lambda x: jnp.moveaxis(x, -1, 0), elem)
+        init = jax.tree.map(
+            lambda x, idl: jnp.broadcast_to(
+                jnp.asarray(idl, x.dtype), x.shape[1:]
+            ),
+            tm,
+            identity,
+        )
+        if vary_axes:
+            init = jax.tree.map(
+                lambda x: jax.lax.pcast(x, tuple(vary_axes), to="varying"),
+                init,
+            )
+
+        def step(carry, x):
+            new = combine(carry, x)
+            return new, new
+
+        _, scanned = jax.lax.scan(step, init, tm)
+        return jax.tree.map(lambda x: jnp.moveaxis(x, 0, -1), scanned)
     return jax.lax.associative_scan(combine, elem, axis=-1)
 
 

@@ -25,6 +25,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -81,6 +82,113 @@ def pack_layout(
     return PackedLayout(row_idx, valid, t_p, K, lengths)
 
 
+def _mesh_on_tpu(mesh: Mesh) -> bool:
+    return mesh.devices.flat[0].platform == "tpu"
+
+
+def _build_sharded_soa_loglik(
+    spec,
+    obs: np.ndarray,
+    times: np.ndarray,
+    ids: np.ndarray,
+    mesh: Mesh,
+    axis: str,
+    layout: PackedLayout,
+):
+    """Track-sharded likelihood riding the SoA / fused-Pallas kernels.
+
+    The round-2 sharded path vmapped the generic (n, s, s) element
+    filter per track — the exact layout ops/kalman_soa.py exists to
+    escape (~10x slower per step on TPU). Here each device instead
+    FLATTENS its local padded tracks back into one concatenated
+    sequence (track boundaries become in-scan resets, padding rows are
+    NaN-missing) and runs the same single-device fast kernel the
+    unsharded path uses: the fused-Pallas filter with the
+    Fisher-identity parameter-space custom_vjp on TPU
+    (ops/ctcrw_fused.py / ops/diag_fused.py), the SoA sequential scan
+    on CPU (reverse-AD-safe, see ops/kalman.default_filter_impl). One
+    psum of the per-device scalar is the only communication; the
+    replicated (n, n_par) linear predictor is gathered locally and its
+    cotangent psummed by the shard_map transpose.
+
+    Covers CTCRW / BM_SSM / OU_SSM with isotropic observation noise and
+    default P0 (the SoA kernels' contract, identical to the single-
+    device dispatch in infer/objective.py); other cases fall back to
+    the generic element filter in build_sharded_loglik.
+    """
+    on_tpu = _mesh_on_tpu(mesh)
+    K_pad, L = layout.row_idx.shape
+
+    obs = np.asarray(obs, float)
+    obs_p = obs[layout.row_idx]
+    obs_p[~layout.valid_row] = np.nan  # padding = missing observation
+
+    dt_host = np.concatenate(
+        [np.diff(layout.times_p, axis=1), np.ones((K_pad, 1))], axis=1
+    )
+
+    shard = NamedSharding(mesh, P(axis))
+    row_idx = jax.device_put(jnp.asarray(layout.row_idx), shard)
+    obs_j = jax.device_put(jnp.asarray(obs_p), shard)
+    dt_j = jax.device_put(jnp.asarray(dt_host), shard)
+
+    from smoothsde_tpu.ops.kalman_soa import (
+        ctcrw_loglik_soa,
+        diag_ssm_loglik_soa,
+    )
+
+    def local(row_l, obs_l, dt_l, par_rep, sobs_rep):
+        K_loc, L_loc = row_l.shape
+        par_f = par_rep[row_l.reshape(-1)]  # (K_loc*L, n_par)
+        obs_f = obs_l.reshape(K_loc * L_loc, -1)
+        dt_f = dt_l.reshape(-1)
+        ids_f = jnp.repeat(
+            jnp.arange(K_loc, dtype=jnp.int32), L_loc, total_repeat_length=K_loc * L_loc
+        )
+        times_f = jnp.zeros_like(dt_f)  # unused: dt supplied explicitly
+        if spec.type == "CTCRW":
+            if on_tpu:
+                val = ctcrw_loglik_soa(
+                    par_f, obs_f, times_f, ids_f, sigma_obs=sobs_rep,
+                    scan="fused", analytic_grad=True, dt=dt_f,
+                )
+            else:
+                val = ctcrw_loglik_soa(
+                    par_f, obs_f, times_f, ids_f, sigma_obs=sobs_rep,
+                    scan="sequential", dt=dt_f,
+                )
+        else:
+            if on_tpu:
+                from smoothsde_tpu.ops.diag_fused import (
+                    diag_ssm_loglik_fused,
+                )
+
+                val = diag_ssm_loglik_fused(
+                    spec.type, par_f, obs_f, times_f, ids_f,
+                    sigma_obs=sobs_rep, dt=dt_f,
+                )
+            else:
+                val = diag_ssm_loglik_soa(
+                    spec.type, par_f, obs_f, times_f, ids_f,
+                    sigma_obs=sobs_rep, scan="sequential", dt=dt_f,
+                )
+        return jax.lax.psum(val, axis)
+
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    def loglik(full, par_full):
+        sobs = jnp.exp(full["log_sigma_obs"][0])
+        return sharded(row_idx, obs_j, dt_j, par_full, sobs)
+
+    return loglik
+
+
 def build_time_sharded_loglik(
     spec,
     obs: np.ndarray,
@@ -110,15 +218,28 @@ def build_time_sharded_loglik(
     from smoothsde_tpu.ops.kalman_soa import precompute_dt
     from smoothsde_tpu.parallel.time_scan import kalman_filter_time_sharded
 
-    if spec.kind != "ssm" or spec.type == "ESEAL_SSM":
+    if spec.kind != "ssm":
         raise NotImplementedError(
-            "time-sharded likelihood covers BM_SSM/OU_SSM/CTCRW"
+            "time-sharded likelihood covers the Kalman family "
+            "(closed-form models are GSPMD-shardable as-is)"
         )
     other_data = dict(other_data or {})
     n_dev = int(mesh.shape[axis])
     n = len(ids)
     pad = (-n) % n_dev
     builder = SSM_STEP_BUILDERS[spec.type]
+
+    # Fast path: isotropic-noise SSMs with default P0 scan SoA elements
+    # (elementwise-VPU combine) instead of generic (n, s, s) elements —
+    # the time-axis analogue of _build_sharded_soa_loglik.
+    if (
+        spec.type in ("CTCRW", "BM_SSM", "OU_SSM")
+        and H_array is None
+        and P0 is None
+    ):
+        return _build_time_sharded_soa_loglik(
+            spec, obs, times, ids, mesh, axis
+        )
 
     obs_j = jnp.asarray(np.asarray(obs, float))
     times_j = jnp.asarray(np.asarray(times, float))
@@ -131,6 +252,11 @@ def build_time_sharded_loglik(
         if H_np.ndim == 3 and H_np.shape[0] != n and H_np.shape[-1] == n:
             H_np = np.moveaxis(H_np, -1, 0)
         H_j = jnp.asarray(H_np)
+
+    if spec.type == "ESEAL_SSM":
+        h_j = jnp.asarray(np.asarray(other_data["h"], float))
+        R_j = jnp.asarray(np.asarray(other_data["R"], float))
+        dep_j = jnp.asarray(np.asarray(other_data["dep_fat"], float))
 
     # local scan: log-depth associative on TPU; sequential composition
     # on CPU (same math; reverse-AD through lax.associative_scan
@@ -173,16 +299,118 @@ def build_time_sharded_loglik(
         )
 
     def loglik(full, par_full):
-        sobs = jnp.exp(full["log_sigma_obs"][0])
-        steps = builder(
-            par_full, obs_j, times_j, ids_j, sigma_obs=sobs,
-            H_array=H_j, P0=P0_j, dt=dt_j,
-        )
+        if spec.type == "ESEAL_SSM":
+            steps = builder(
+                par_full, obs_j, times_j, ids_j,
+                full["log_tau"][0], full["a1"][0], full["log_a2"][0],
+                h_j, R_j, dep_j, P0=P0_j, dt=dt_j,
+            )
+        else:
+            sobs = jnp.exp(full["log_sigma_obs"][0])
+            steps = builder(
+                par_full, obs_j, times_j, ids_j, sigma_obs=sobs,
+                H_array=H_j, P0=P0_j, dt=dt_j,
+            )
         steps = _pad_steps(steps)
         llk, _ = kalman_filter_time_sharded(
             steps, mesh, axis=axis, local_scan=local_scan
         )
         return llk
+
+    return loglik
+
+
+def _build_time_sharded_soa_loglik(
+    spec,
+    obs: np.ndarray,
+    times: np.ndarray,
+    ids: np.ndarray,
+    mesh: Mesh,
+    axis: str,
+):
+    """Time-sharded likelihood over SoA filtering elements.
+
+    Host-side: pad the flat step sequence to a multiple of the device
+    count with a dummy NaN-observation track (reset + no updates =
+    exactly zero likelihood). Device-side: build the SoA system
+    (ops/kalman_soa._ctcrw_system / ops/diag_fused.diag_system),
+    run the block-decomposed sharded scan with the elementwise combine
+    (parallel/time_scan.soa_sharded_prefix_scan), recover likelihood
+    terms with one GSPMD-sharded elementwise pass.
+    """
+    from smoothsde_tpu.ops.diag_fused import (
+        DIAG_IDENTITY,
+        _comb1,
+        diag_elements,
+        diag_llk_from_filtered,
+        diag_system,
+    )
+    from smoothsde_tpu.ops.kalman_soa import (
+        _ID2,
+        _combine2,
+        _ctcrw_system,
+        _llk_from_filtered,
+        precompute_dt,
+    )
+    from smoothsde_tpu.parallel.time_scan import soa_sharded_prefix_scan
+
+    n_dev = int(mesh.shape[axis])
+    n = len(ids)
+    pad = (-n) % n_dev
+
+    obs_np = np.asarray(obs, float)
+    times_np = np.asarray(times, float)
+    ids_codes = np.unique(np.asarray(ids), return_inverse=True)[1]
+    dt_np = precompute_dt(times_np, ids_codes)
+    if pad:
+        obs_np = np.concatenate(
+            [obs_np, np.full((pad, obs_np.shape[1]), np.nan)]
+        )
+        times_np = np.concatenate(
+            [times_np, times_np[-1] + 1.0 + np.arange(pad)]
+        )
+        ids_codes = np.concatenate(
+            [ids_codes, np.full(pad, ids_codes.max() + 1)]
+        )
+        dt_np = np.concatenate([dt_np[:-1], [1.0], np.ones(pad)])
+
+    obs_j = jnp.asarray(obs_np)
+    times_j = jnp.asarray(times_np)
+    ids_j = jnp.asarray(ids_codes)
+    dt_j = jnp.asarray(dt_np, float)
+
+    local_scan = "blocked" if _mesh_on_tpu(mesh) else "sequential"
+
+    def loglik(full, par_full):
+        sobs = jnp.exp(full["log_sigma_obs"][0])
+        par_p = (
+            jnp.concatenate(
+                [
+                    par_full,
+                    jnp.broadcast_to(
+                        par_full[-1:], (pad, par_full.shape[1])
+                    ),
+                ]
+            )
+            if pad
+            else par_full
+        )
+        if spec.type == "CTCRW":
+            sys = _ctcrw_system(
+                par_p, obs_j, times_j, ids_j, sobs, dt=dt_j
+            )
+            scanned = soa_sharded_prefix_scan(
+                _combine2, _ID2, sys.elem, mesh, axis, local_scan
+            )
+            return _llk_from_filtered(sys, scanned.b, scanned.C)
+        sysd = diag_system(
+            spec.type, par_p, obs_j, times_j, ids_j, sobs, dt=dt_j
+        )
+        elems = diag_elements(sysd)
+        _, bf, Cf, _, _ = soa_sharded_prefix_scan(
+            _comb1, DIAG_IDENTITY, elems, mesh, axis, local_scan
+        )
+        return diag_llk_from_filtered(sysd, bf, Cf)
 
     return loglik
 
@@ -207,6 +435,19 @@ def build_sharded_loglik(
     n_dev = int(mesh.shape[axis])
     layout = pack_layout(times, ids, n_dev)
     K_pad, L = layout.row_idx.shape
+
+    # Fast path: isotropic-noise SSMs with default P0 ride the same SoA
+    # / fused-Pallas kernels as the unsharded dispatch (VERDICT r2 item
+    # 1 — multi-chip must keep the single-chip kernel speed).
+    if (
+        spec.type in ("CTCRW", "BM_SSM", "OU_SSM")
+        and kalman_impl in ("auto", "soa")
+        and H_array is None
+        and P0 is None
+    ):
+        return _build_sharded_soa_loglik(
+            spec, obs, times, ids, mesh, axis, layout
+        )
 
     obs = np.asarray(obs, float)
     obs_p = obs[layout.row_idx]

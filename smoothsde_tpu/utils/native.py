@@ -78,6 +78,14 @@ def native_available() -> bool:
     return _load() is not None
 
 
+def reset() -> None:
+    """Forget a cached load failure (used after building the .so
+    mid-process, e.g. the test suite's on-demand `make -C native`)."""
+    global _LIB, _LIB_TRIED
+    _LIB = None
+    _LIB_TRIED = False
+
+
 def _dptr(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 

@@ -1,0 +1,95 @@
+"""Self-golden regression fixtures for the BASELINE configs.
+
+Each tests/golden/<config>.npz freezes (at a fixed deterministic
+parameter point) the design/penalty matrices, the penalized joint nllk,
+the Laplace marginal value+gradient, and the response-scale parameter
+curve, as produced by tools/make_golden_fixtures.py on the float64 CPU
+backend. Refactors of the basis construction, objective assembly, or
+prediction path that shift any of these fail here (VERDICT r2 item 6).
+
+These pin THIS implementation (regression anchors); external mgcv/TMB
+validation remains environment-blocked — see docs/ACCURACY.md for the
+independent sympy/scipy oracles that substitute for it.
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+CONFIGS = ["config1", "config2", "config3", "config4",
+           "config5a", "config5b"]
+
+
+def _build(name):
+    import bench_configs as bc
+
+    builders = {
+        "config1": lambda: bc.config1()[0],
+        "config2": lambda: bc.config2()[0],
+        "config3": lambda: bc.config3()[0],
+        "config4": lambda: bc.config4()[0],
+        "config5a": lambda: bc.config5_ctcrw(n=20_000)[0],
+        "config5b": lambda: bc.config5_cir(n=20_000)[0],
+    }
+    return builders[name]()
+
+
+@pytest.mark.parametrize("name", CONFIGS)
+def test_golden_fixture(name):
+    path = os.path.join(GOLDEN_DIR, f"{name}.npz")
+    assert os.path.exists(path), (
+        f"missing fixture {path} — regenerate with "
+        "python tools/make_golden_fixtures.py"
+    )
+    fx = np.load(path)
+    sde = _build(name)
+
+    # ---- design & penalty matrices: exact reproduction ----
+    mats = sde.make_mat()
+    np.testing.assert_array_equal(np.asarray(mats["X_fe"]), fx["X_fe"])
+    np.testing.assert_array_equal(np.asarray(mats["X_re"]), fx["X_re"])
+    np.testing.assert_array_equal(np.asarray(mats["S"]), fx["S"])
+
+    # ---- objective values at the frozen parameter point ----
+    bundle = sde.setup()
+    pk = bundle.packer
+    outer, inner = fx["outer"], fx["inner"]
+    full = pk.unpack(jnp.asarray(outer), jnp.asarray(inner))
+    joint = float(bundle.joint_nllk(full))
+    tol = 1e-8 * (1.0 + abs(float(fx["joint_nllk"])))
+    assert abs(joint - float(fx["joint_nllk"])) < tol, (
+        joint, float(fx["joint_nllk"]),
+    )
+
+    from smoothsde_tpu.infer.laplace import make_laplace
+
+    marginal = make_laplace(
+        bundle.joint_nllk, pk,
+        joint_nllk_ad=bundle.joint_nllk_ad,
+        hess_plan=bundle.hess_plan,
+    )
+    (mval, _), mgrad = jax.value_and_grad(marginal, has_aux=True)(
+        jnp.asarray(outer), jnp.asarray(pk.inner_init())
+    )
+    mtol = 1e-7 * (1.0 + abs(float(fx["marginal_nllk"])))
+    assert abs(float(mval) - float(fx["marginal_nllk"])) < mtol
+    np.testing.assert_allclose(
+        np.asarray(mgrad), fx["marginal_grad"], rtol=1e-6, atol=1e-7
+    )
+
+    # ---- response-scale parameter curve ----
+    est = pk.split_estimates(outer, np.asarray(inner))
+    sde._coeff_fe = np.asarray(est["coeff_fe"])
+    if inner.size and "coeff_re" in est:
+        sde._coeff_re = np.asarray(est["coeff_re"])
+    curve = np.asarray(sde.par(t=fx["par_curve_idx"].tolist()))
+    np.testing.assert_allclose(
+        curve, fx["par_curve"], rtol=1e-9, atol=1e-12
+    )

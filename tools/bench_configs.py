@@ -1,6 +1,16 @@
 """End-to-end fit benchmarks for the BASELINE.md configs on the current
-backend. Usage: python tools/bench_configs.py <config> with config in
-{1, 2, 3, 4}. Appends a JSON line to tools/bench_configs.jsonl.
+backend.
+
+Usage: python tools/bench_configs.py <config> [optimizer] [--warm]
+  config in {1, 2, 3, 4, 5a, 5b}; optimizer in {scipy, device, auto}.
+  --warm: keep the persistent XLA compile cache enabled, recording the
+  wall-clock a user sees on the SECOND fit of a model shape (the
+  R/TMB-comparable number — TMB compiles its objective at install
+  time). Run once without --warm-only measurement intent to populate
+  the cache, then with --warm to record. Default (cold) disables the
+  cache so fresh-process numbers stay reproducible.
+
+Appends a JSON line to tools/bench_configs.jsonl.
 """
 
 import json
@@ -193,13 +203,16 @@ def main():
 
     import jax
 
-    # benchmarks record COLD fresh-process fits (the number a new user
-    # sees); fit()'s auto-enabled persistent compile cache would make
-    # every re-record warm
-    os.environ.setdefault("SMOOTHSDE_NO_COMPILE_CACHE", "1")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    warm = "--warm" in sys.argv
+    if not warm:
+        # cold rows record fresh-process fits (the number a new user
+        # sees on the very first fit); fit()'s auto-enabled persistent
+        # compile cache would silently make every re-record warm
+        os.environ.setdefault("SMOOTHSDE_NO_COMPILE_CACHE", "1")
 
-    cfg = sys.argv[1]
-    optimizer = sys.argv[2] if len(sys.argv) > 2 else "scipy"
+    cfg = args[0]
+    optimizer = args[1] if len(args) > 1 else "scipy"
     builders = {
         "1": config1, "2": config2, "3": config3, "4": config4,
         "5a": config5_ctcrw, "5b": config5_cir,
@@ -217,8 +230,10 @@ def main():
         "config": cfg if len(cfg) > 1 else int(cfg),
         "backend": jax.default_backend(),
         "optimizer": optimizer,
+        "mode": "warm" if warm else "cold",
         "n_obs": sde.n_obs(),
         "converged": res.convergence == 0,
+        "convergence_via": res.convergence_via,
         "nllk": round(res.value, 3),
         "fit_wall_s": round(wall, 2),
         "nllk_grad_steady_ms": round(steady * 1e3, 3),
