@@ -420,16 +420,12 @@ def build_objective(
                     if impl == "sqrt":
                         # square-root (Cholesky-form) filtering: the
                         # accuracy-optimal path for very long f32
-                        # horizons (ops/kalman_sqrt.py). CTCRW-only;
-                        # gradients via plain AD through the scan.
-                        if spec.type != "CTCRW":
-                            raise ValueError(
-                                "kalman_impl='sqrt' is only available "
-                                "for CTCRW (scalar-state SSMs use the "
-                                "cancellation-free moment form)"
-                            )
+                        # horizons (ops/kalman_sqrt.py), for the whole
+                        # SSM family; gradients via plain AD through
+                        # the scan.
                         from smoothsde_tpu.ops.kalman_sqrt import (
                             ctcrw_loglik_sqrt,
+                            diag_ssm_loglik_sqrt,
                         )
 
                         scan = (
@@ -437,9 +433,16 @@ def build_objective(
                             if default_filter_impl() == "parallel"
                             else "sequential"
                         )
-                        return ctcrw_loglik_sqrt(
-                            par_matrix(full), obs_j, times_j, ids_j,
-                            sigma_obs=sobs, scan=scan, dt=dt_j,
+                        if spec.type == "CTCRW":
+                            return ctcrw_loglik_sqrt(
+                                par_matrix(full), obs_j, times_j,
+                                ids_j, sigma_obs=sobs, scan=scan,
+                                dt=dt_j,
+                            )
+                        return diag_ssm_loglik_sqrt(
+                            spec.type, par_matrix(full), obs_j,
+                            times_j, ids_j, sigma_obs=sobs, scan=scan,
+                            dt=dt_j,
                         )
                     if impl == "soa":
                         if spec.type == "CTCRW":

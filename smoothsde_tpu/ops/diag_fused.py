@@ -225,22 +225,26 @@ def diag_llk_from_filtered(sysd: DiagSystem, bf, Cf):
 
 
 def diag_fused_loglik(sys: DiagSystem):
-    """Fused forward + Fisher-identity custom_vjp log-likelihood."""
-    reset, prev_reset, update = sys.reset, sys.prev_reset, sys.update
+    """Fused forward + Fisher-identity custom_vjp log-likelihood.
+
+    The masks ride as EXPLICIT primal arguments (0/1 floats) rather
+    than closure state: a custom_vjp that closes over traced values
+    leaks tracers when traced inside shard_map (the sharded fast path,
+    parallel/dist._build_sharded_soa_loglik)."""
     p0 = sys.p0
 
     @jax.custom_vjp
-    def core(t, q, c, yd, h):
-        return _fwd(t, q, c, yd, h)[0]
+    def core(t, q, c, yd, h, resetf, updatef):
+        return _fwd(t, q, c, yd, h, resetf, updatef)[0]
 
-    def _fwd(t, q, c, yd, h):
+    def _fwd(t, q, c, yd, h, resetf, updatef):
         import jax.experimental.pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
         d, n = yd.shape
         dtype = yd.dtype
         NB, L, L_CH, L_pad, lanes, MID, n_lc = _plan(d, n)
-        raw = [t, q, c, yd, reset.astype(dtype), update.astype(dtype)]
+        raw = [t, q, c, yd, resetf, updatef]
         pad_vals = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0]
         tiles = _stack_tiles(raw, pad_vals, d, n, NB, L, L_pad, MID, dtype)
         h_arr = jnp.asarray(h, dtype).reshape(1, 1)
@@ -371,15 +375,17 @@ def diag_fused_loglik(sys: DiagSystem):
         # smooth_elem: G = 1, g = 0, L = 0)
         return jnp.sum(outs[1]), outs[0]
 
-    def core_fwd(t, q, c, yd, h):
-        llk, mom = _fwd(t, q, c, yd, h)
-        return llk, (t, q, c, yd, h, mom)
+    def core_fwd(t, q, c, yd, h, resetf, updatef):
+        llk, mom = _fwd(t, q, c, yd, h, resetf, updatef)
+        return llk, (t, q, c, yd, h, resetf, updatef, mom)
 
     def core_bwd(res, gbar):
         import jax.experimental.pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
-        t, q, c, yd, h, mom = res
+        t, q, c, yd, h, resetf, updatef, mom = res
+        reset = resetf > 0.5
+        prev_reset = jnp.concatenate([jnp.ones((1,), bool), reset[:-1]])
         d, n = yd.shape
         dtype = yd.dtype
         NB, L, L_CH, L_pad, lanes, MID, n_lc = _plan(d, n)
@@ -395,7 +401,7 @@ def diag_fused_loglik(sys: DiagSystem):
 
         raw = [sb1(t), sb(q), sb(c),
                te.astype(dtype), tvn, yd,
-               update.astype(dtype), reset.astype(dtype)]
+               updatef, resetf]
         # identity smoothing elements in padding: q = 0, t = 1, te = 0
         # -> G = 1, g = 0, L = 0 (the moment rows carry real pos-def
         # filter states in their padded slots, see _fwd)
@@ -585,10 +591,14 @@ def diag_fused_loglik(sys: DiagSystem):
         tbar = jnp.sum(fwd1(c_t), axis=0)
         qbar = jnp.sum(fwd1(c_q), axis=0)
         cbar = fwd1(c_c)
-        return (tbar, qbar, cbar, c_y, hbar.reshape(jnp.shape(h)))
+        # masks are data, not parameters: zero cotangents
+        return (tbar, qbar, cbar, c_y, hbar.reshape(jnp.shape(h)),
+                jnp.zeros_like(resetf), jnp.zeros_like(updatef))
 
     core.defvjp(core_fwd, core_bwd)
-    return core(sys.t, sys.q, sys.c, sys.yd, sys.h)
+    dtype = sys.yd.dtype
+    return core(sys.t, sys.q, sys.c, sys.yd, sys.h,
+                sys.reset.astype(dtype), sys.update.astype(dtype))
 
 
 def diag_ssm_loglik_fused(type, par_mat, obs, times, ids, sigma_obs,

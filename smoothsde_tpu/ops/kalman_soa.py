@@ -194,7 +194,8 @@ class CtcrwSystem(NamedTuple):
 
 
 def _ctcrw_system(par_mat, obs, times, ids, sigma_obs, p0_pos=1.0,
-                  p0_vel=10.0, dt=None, yd=None, h=None) -> CtcrwSystem:
+                  p0_vel=10.0, dt=None, yd=None, h=None, reset=None,
+                  valid=None) -> CtcrwSystem:
     """Build the per-step SoA system + filtering elements (shared by the
     likelihood, the smoother, and the analytic-gradient core).
 
@@ -204,26 +205,38 @@ def _ctcrw_system(par_mat, obs, times, ids, sigma_obs, p0_pos=1.0,
     `yd`/`h` override the observation array / variance so a custom_vjp
     core can wire its primal to those arguments (the par-space fused
     path); values must equal what would be computed from obs/sigma_obs.
+    `reset`/`valid` override the masks derived from ids/obs for the
+    same reason (a custom_vjp primal must not close over traced values
+    — it leaks under shard_map); when all of dt/yd/h/reset/valid are
+    given, obs/times/ids may be None.
     """
-    obs = jnp.asarray(obs)
-    times = jnp.asarray(times)
-    ids = jnp.asarray(ids)
-    n, n_dim = obs.shape
     dtype = par_mat.dtype
+    if yd is not None:
+        n_dim, n = yd.shape
+    else:
+        obs = jnp.asarray(obs)
+        n, n_dim = obs.shape
 
     # sanitize cross-track intervals (clocks restart per track; a
     # negative dt overflows exp(-beta*dt) in f32 and NaN-poisons grads
     # through the masked branches)
-    same_id = ids[1:] == ids[:-1]
     if dt is None:
+        times = jnp.asarray(times)
+        ids = jnp.asarray(ids)
+        same_id = ids[1:] == ids[:-1]
         dt = jnp.concatenate(
             [jnp.where(same_id, jnp.diff(times), 1.0),
              jnp.ones((1,), times.dtype)]
         )
     else:
-        dt = jnp.asarray(dt, times.dtype)
-    reset = jnp.concatenate([jnp.ones((1,), bool), ids[1:] != ids[:-1]])
-    valid = jnp.isfinite(obs[:, 0])
+        dt = jnp.asarray(dt, dtype)
+    if reset is None:
+        ids = jnp.asarray(ids)
+        reset = jnp.concatenate(
+            [jnp.ones((1,), bool), ids[1:] != ids[:-1]]
+        )
+    if valid is None:
+        valid = jnp.isfinite(jnp.asarray(obs)[:, 0])
     y = jnp.nan_to_num(obs, nan=0.0) if yd is None else yd.T  # (n, d)
 
     mu = par_mat[:, :n_dim]  # (n, d)
@@ -478,45 +491,69 @@ def _llk2_fused_par(par_mat, obs, times, ids, sigma_obs, p0_pos, p0_vel,
     yd0 = jnp.nan_to_num(obs, nan=0.0).T  # (d, n)
     h0 = jnp.asarray(sigma_obs, dtype) ** 2
 
+    return _fused_par_core(
+        par_mat, yd0, h0, jnp.asarray(dt, dtype),
+        reset.astype(dtype), valid.astype(dtype),
+        n_dim=n_dim, p0_pos=p0_pos, p0_vel=p0_vel,
+    )
+
+
+def _fused_par_core(par_mat, yd, h, dtv, resetf, validf, *, n_dim,
+                    p0_pos, p0_vel):
+    """Parameter-space Fisher-identity custom_vjp around the fused
+    filter. Every traced value is an EXPLICIT primal argument (masks as
+    0/1 floats): a custom_vjp that closes over tracers leaks them when
+    traced inside shard_map (the sharded fast path,
+    parallel/dist._build_sharded_soa_loglik)."""
     from smoothsde_tpu.ops.ctcrw_fused import (
         fused_backward_par,
         fused_filter,
     )
 
-    @jax.custom_vjp
-    def core(par_mat, yd, h):
-        sys = _ctcrw_system(
-            par_mat, obs, times, ids, sigma_obs, p0_pos, p0_vel,
-            dt=dt, yd=yd, h=h,
+    def _system(par_mat, yd, h, dtv, resetf, validf):
+        return _ctcrw_system(
+            par_mat, None, None, None, None, p0_pos, p0_vel,
+            dt=dtv, yd=yd, h=h, reset=resetf > 0.5, valid=validf > 0.5,
         )
+
+    @jax.custom_vjp
+    def core(par_mat, yd, h, dtv, resetf, validf):
+        sys = _system(par_mat, yd, h, dtv, resetf, validf)
         return fused_filter(sys, want_moments=False)[0]
 
-    def core_fwd(par_mat, yd, h):
-        sys = _ctcrw_system(
-            par_mat, obs, times, ids, sigma_obs, p0_pos, p0_vel,
-            dt=dt, yd=yd, h=h,
-        )
+    def core_fwd(par_mat, yd, h, dtv, resetf, validf):
+        sys = _system(par_mat, yd, h, dtv, resetf, validf)
         llk, m_f, _ = fused_filter(
             sys, want_moments=True, tiled_moments=True
         )
-        return llk, (par_mat, yd, h, m_f)
+        return llk, (par_mat, yd, h, dtv, resetf, validf, m_f)
 
     def core_bwd(res, gbar):
-        par_mat, yd, h, m_f = res
+        par_mat, yd, h, dtv, resetf, validf, m_f = res
+        reset = resetf > 0.5
+        prev_reset = jnp.concatenate(
+            [jnp.ones((1,), bool), reset[:-1]]
+        )
+        update = (validf > 0.5) & (~reset)
         mu = par_mat[:, :n_dim].T  # (d, n)
         lt = par_mat[:, n_dim]
         ln = par_mat[:, n_dim + 1]
         mubar, ltbar, lnbar, ybar, hbar = fused_backward_par(
             yd, h, reset, prev_reset, update, p0_pos, p0_vel,
-            mu, lt, ln, dt, m_f, gbar,
+            mu, lt, ln, dtv, m_f, gbar,
         )
         par_bar = jnp.concatenate(
             [mubar.T, ltbar[:, None], lnbar[:, None]], axis=1
         )
-        return par_bar, ybar, jnp.reshape(hbar, jnp.shape(h))
+        # dt and the masks are data, not parameters: zero cotangents
+        return (
+            par_bar, ybar, jnp.reshape(hbar, jnp.shape(h)),
+            jnp.zeros_like(dtv), jnp.zeros_like(resetf),
+            jnp.zeros_like(validf),
+        )
 
     core.defvjp(core_fwd, core_bwd)
-    return core(par_mat, yd0, h0)
+    return core(par_mat, yd, h, dtv, resetf, validf)
 
 
 def diag_ssm_loglik_soa(type, par_mat, obs, times, ids, sigma_obs,

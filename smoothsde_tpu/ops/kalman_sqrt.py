@@ -309,6 +309,115 @@ def _llk_from_sqrt_filtered(sys: CtcrwSystem, m_f, U_f):
     return jnp.sum(llk_terms)
 
 
+class SqrtElement1(NamedTuple):
+    """SoA square-root filtering element for state dim 1: scalars with
+    C = u^2, J = z^2 (the s=1 specialization of SqrtElement2)."""
+
+    A: jax.Array
+    b: jax.Array
+    u: jax.Array
+    eta: jax.Array
+    z: jax.Array
+
+
+_ID_SQ1 = SqrtElement1(A=1.0, b=0.0, u=0.0, eta=0.0, z=0.0)
+
+
+def _combine_sqrt1(e1: SqrtElement1, e2: SqrtElement1) -> SqrtElement1:
+    """Scalar square-root combine. Every covariance-like quantity is a
+    sum of squares (no cancellation): with k = u1 z2 and
+    M = 1/(1 + k^2),
+      u_new^2 = A2^2 M u1^2 + u2^2,   z_new^2 = A1^2 M z2^2 + z1^2
+    computed through the factors so small covariances stay accurate to
+    a few ulp of the factor."""
+    A1, b1, u1, eta1, z1 = e1
+    A2, b2, u2, eta2, z2 = e2
+    k = u1 * z2
+    M = 1.0 / (1.0 + k * k)
+    sM = jnp.sqrt(M)
+    A = A2 * M * A1
+    b = A2 * M * (b1 + u1 * (u1 * eta2)) + b2
+    au = A2 * u1 * sM
+    u = _ssqrt(au * au + u2 * u2)
+    eta = A1 * M * (eta2 - z2 * (z2 * b1)) + eta1
+    az = A1 * z2 * sM
+    z = _ssqrt(az * az + z1 * z1)
+    return SqrtElement1(A=A, b=b, u=u, eta=eta, z=z)
+
+
+def _build_sqrt_elements1(sysd) -> SqrtElement1:
+    """Per-step scalar square-root elements from a DiagSystem (same
+    three-way reset/update/propagate selection as
+    ops/diag_fused.diag_elements, with factors u = sqrt(C),
+    z = sqrt(J) instead of C/J)."""
+    t, q, c, yd, h = sysd.t, sysd.q, sysd.c, sysd.yd, sysd.h
+    reset, update = sysd.reset, sysd.update
+    S = q + h
+    K = q / S
+    r = yd - c
+    # update branch: C = (1-K) q = q h / S  ->  u = sqrt(q) sqrt(h/S);
+    # J = t^2/S -> z = |t| / sqrt(S) (t > 0 for BM/OU decay factors)
+    rootS = jnp.sqrt(S)
+    u_upd = _ssqrt(q) * jnp.sqrt(h) / rootS
+    A_upd = (1.0 - K) * t
+    b_upd = c + K * r
+    eta_upd = t * r / S
+    z_upd = jnp.abs(t) / rootS
+    zero = jnp.zeros_like(yd)
+    p0r = jnp.sqrt(jnp.asarray(sysd.p0, yd.dtype))
+    return SqrtElement1(
+        A=_wh(reset, zero, _wh(update, A_upd, t)),
+        b=_wh(reset, yd, _wh(update, b_upd, c)),
+        u=_wh(reset, jnp.full_like(yd, p0r), _wh(update, u_upd, _ssqrt(q))),
+        eta=_wh(update, eta_upd, zero),
+        z=_wh(update, z_upd, zero),
+    )
+
+
+def _llk_from_sqrt_filtered1(sysd, m_f, u_f):
+    """Predictive llk recovery from scalar square-root filtered moments:
+    P_pred = (t u_prev)^2 + q — a sum of squares, no cancellation."""
+
+    def shift(x, fill=0.0):
+        return jnp.concatenate(
+            [jnp.full(x.shape[:-1] + (1,), fill, x.dtype), x[..., :-1]],
+            axis=-1,
+        )
+
+    m_prev = shift(m_f)
+    u_prev = shift(u_f)
+    tu = sysd.t * u_prev
+    P_pred = tu * tu + sysd.q
+    a_pred = jnp.where(sysd.reset, sysd.yd, sysd.t * m_prev + sysd.c)
+    P_pred = jnp.where(sysd.reset, sysd.p0, P_pred)
+    F = P_pred + sysd.h
+    r = sysd.yd - a_pred
+    return jnp.sum(
+        jnp.where(sysd.update, -0.5 * (jnp.log(F) + r * r / F), 0.0)
+    )
+
+
+def diag_ssm_loglik_sqrt(type, par_mat, obs, times, ids, sigma_obs,
+                         p0=10.0, scan: str = "auto", dt=None):
+    """Scalar-state SSM (BM_SSM / OU_SSM) log-likelihood via the
+    square-root associative-scan filter — the accuracy-optimal path for
+    very long f32 horizons, completing the kalman_impl='sqrt' option
+    for the whole SSM family (reference loops nllk_bm_ssm.hpp:127-175,
+    nllk_ou_ssm.hpp:163-213). Same value as
+    ops/kalman_soa.diag_ssm_loglik_soa to fp tolerance; gradients via
+    plain AD through the scan.
+    """
+    from smoothsde_tpu.ops.diag_fused import diag_system
+    from smoothsde_tpu.ops.kalman_soa import _scan_elements
+
+    sysd = diag_system(
+        type, par_mat, obs, times, ids, sigma_obs, p0=p0, dt=dt
+    )
+    elem = _build_sqrt_elements1(sysd)
+    scanned = _scan_elements(_combine_sqrt1, _ID_SQ1, elem, scan)
+    return _llk_from_sqrt_filtered1(sysd, scanned.b, scanned.u)
+
+
 def ctcrw_loglik_sqrt(par_mat, obs, times, ids, sigma_obs, p0_pos=1.0,
                       p0_vel=10.0, scan: str = "auto", dt=None):
     """CTCRW log-likelihood via the square-root associative-scan filter.

@@ -108,8 +108,9 @@ def _build_sharded_soa_loglik(
     (ops/ctcrw_fused.py / ops/diag_fused.py), the SoA sequential scan
     on CPU (reverse-AD-safe, see ops/kalman.default_filter_impl). One
     psum of the per-device scalar is the only communication; the
-    replicated (n, n_par) linear predictor is gathered locally and its
-    cotangent psummed by the shard_map transpose.
+    replicated (n, n_par) linear predictor is permuted into the padded
+    layout with static slices (never a runtime gather — see permute_par
+    below) and its cotangent handled by the shard_map transpose.
 
     Covers CTCRW / BM_SSM / OU_SSM with isotropic observation noise and
     default P0 (the SoA kernels' contract, identical to the single-
@@ -118,6 +119,7 @@ def _build_sharded_soa_loglik(
     """
     on_tpu = _mesh_on_tpu(mesh)
     K_pad, L = layout.row_idx.shape
+    n = len(np.asarray(ids))
 
     obs = np.asarray(obs, float)
     obs_p = obs[layout.row_idx]
@@ -128,18 +130,47 @@ def _build_sharded_soa_loglik(
     )
 
     shard = NamedSharding(mesh, P(axis))
-    row_idx = jax.device_put(jnp.asarray(layout.row_idx), shard)
     obs_j = jax.device_put(jnp.asarray(obs_p), shard)
     dt_j = jax.device_put(jnp.asarray(dt_host), shard)
+
+    # The theta-dependent linear predictor is permuted into the padded
+    # (K_pad, L) layout with STATIC per-track slices + edge pads, NOT a
+    # runtime row gather: row_idx is concat-of-slices by construction
+    # (pack_layout above), and a (1M, 4) row gather costs ~6.6 ms
+    # forward / ~47 ms with its scatter-add transpose on TPU — 10x the
+    # entire fused filter (probe recorded in docs/BENCH_DETAILS.md).
+    # Slices + pads compile to bandwidth-only copies.
+    starts = [int(layout.row_idx[k, 0]) for k in range(K_pad)]
+    lens = [int(m) for m in layout.lengths]
+    identity_layout = K_pad * L == n and bool(
+        np.array_equal(layout.row_idx.reshape(-1), np.arange(n))
+    )
+
+    def permute_par(par_full):
+        if identity_layout:
+            return par_full.reshape(K_pad, L, -1)
+        rows = []
+        for k in range(K_pad):
+            m = lens[k]
+            if m == 0:  # dummy track (device-count padding)
+                rows.append(
+                    jnp.zeros((L, par_full.shape[1]), par_full.dtype)
+                )
+                continue
+            seg = jax.lax.slice_in_dim(par_full, starts[k], starts[k] + m)
+            if m < L:
+                seg = jnp.pad(seg, ((0, L - m), (0, 0)), mode="edge")
+            rows.append(seg)
+        return jnp.stack(rows)
 
     from smoothsde_tpu.ops.kalman_soa import (
         ctcrw_loglik_soa,
         diag_ssm_loglik_soa,
     )
 
-    def local(row_l, obs_l, dt_l, par_rep, sobs_rep):
-        K_loc, L_loc = row_l.shape
-        par_f = par_rep[row_l.reshape(-1)]  # (K_loc*L, n_par)
+    def local(obs_l, dt_l, par_l, sobs_rep):
+        K_loc, L_loc = obs_l.shape[0], obs_l.shape[1]
+        par_f = par_l.reshape(K_loc * L_loc, -1)
         obs_f = obs_l.reshape(K_loc * L_loc, -1)
         dt_f = dt_l.reshape(-1)
         ids_f = jnp.repeat(
@@ -177,14 +208,14 @@ def _build_sharded_soa_loglik(
     sharded = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(), P()),
+        in_specs=(P(axis), P(axis), P(axis), P()),
         out_specs=P(),
         check_vma=False,
     )
 
     def loglik(full, par_full):
         sobs = jnp.exp(full["log_sigma_obs"][0])
-        return sharded(row_idx, obs_j, dt_j, par_full, sobs)
+        return sharded(obs_j, dt_j, permute_par(par_full), sobs)
 
     return loglik
 

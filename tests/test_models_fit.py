@@ -136,17 +136,39 @@ class TestCTCRW:
             grads["sqrt"], grads["sequential"], rtol=1e-6, atol=1e-8
         )
 
-    def test_sqrt_impl_rejects_scalar_ssm(self):
+    @pytest.mark.parametrize("type,par0", [
+        ("BM_SSM", [0.0, 1.0]),
+        ("OU_SSM", [0.0, 1.0, 0.5]),
+    ])
+    def test_sqrt_impl_matches_default_scalar_ssm(self, type, par0):
+        """kalman_impl='sqrt' covers the scalar-state SSMs too
+        (round 3: completes the sqrt option for the whole family)."""
+        import jax
+        import jax.numpy as jnp
+
         rng = np.random.default_rng(6)
-        n = 60
+        n = 300
         data = {
-            "ID": np.zeros(n, int), "time": np.arange(n, dtype=float),
-            "z": np.cumsum(rng.normal(size=n)),
+            "ID": np.repeat([0, 1], n // 2),
+            "time": np.tile(np.arange(n // 2) * 0.4, 2),
+            "z": np.cumsum(rng.normal(size=n) * 0.5),
         }
-        sde = SDE(data=data, type="BM_SSM", response="z", par0=[0.0, 1.0])
-        with pytest.raises(ValueError, match="sqrt"):
-            b = sde.setup(kalman_impl="sqrt")
-            b.joint_nllk(b.packer.unpack(b.packer.outer_init()))
+        vals, grads = {}, {}
+        for impl in ("sequential", "sqrt"):
+            sde = SDE(data=data, type=type, response="z", par0=par0)
+            b = sde.setup(kalman_impl=impl)
+            outer0 = jnp.asarray(b.packer.outer_init())
+
+            def nll(o, b=b):
+                return b.joint_nllk(b.packer.unpack(o))
+
+            v, g = jax.value_and_grad(nll)(outer0)
+            vals[impl] = float(v)
+            grads[impl] = np.asarray(g)
+        assert vals["sqrt"] == pytest.approx(vals["sequential"], rel=1e-8)
+        np.testing.assert_allclose(
+            grads["sqrt"], grads["sequential"], rtol=1e-6, atol=1e-8
+        )
 
 
 class TestSSM:

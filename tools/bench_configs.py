@@ -1,14 +1,14 @@
 """End-to-end fit benchmarks for the BASELINE.md configs on the current
 backend.
 
-Usage: python tools/bench_configs.py <config> [optimizer] [--warm]
+Usage: python tools/bench_configs.py <config> [optimizer] [--warm|--populate]
   config in {1, 2, 3, 4, 5a, 5b}; optimizer in {scipy, device, auto}.
   --warm: keep the persistent XLA compile cache enabled, recording the
   wall-clock a user sees on the SECOND fit of a model shape (the
   R/TMB-comparable number — TMB compiles its objective at install
-  time). Run once without --warm-only measurement intent to populate
-  the cache, then with --warm to record. Default (cold) disables the
-  cache so fresh-process numbers stay reproducible.
+  time). --populate: same cache-enabled fit but does NOT append a row
+  (use once to prime the cache, then --warm to record). Default (cold)
+  disables the cache so fresh-process numbers stay reproducible.
 
 Appends a JSON line to tools/bench_configs.jsonl.
 """
@@ -205,7 +205,8 @@ def main():
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     warm = "--warm" in sys.argv
-    if not warm:
+    populate = "--populate" in sys.argv
+    if not (warm or populate):
         # cold rows record fresh-process fits (the number a new user
         # sees on the very first fit); fit()'s auto-enabled persistent
         # compile cache would silently make every re-record warm
@@ -243,8 +244,9 @@ def main():
         "truth": truth,
     }
     print(json.dumps(out), flush=True)
-    with open("tools/bench_configs.jsonl", "a") as f:
-        f.write(json.dumps(out) + "\n")
+    if not populate:
+        with open("tools/bench_configs.jsonl", "a") as f:
+            f.write(json.dumps(out) + "\n")
 
 
 if __name__ == "__main__":
