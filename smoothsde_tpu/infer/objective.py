@@ -96,8 +96,10 @@ def build_objective(
     param_names = list(spec.param_names)
     n_par = len(param_names)
 
-    fe_blocks = [jnp.asarray(X) for X in design.fe_blocks()]
-    re_blocks = [jnp.asarray(X) for X in design.re_blocks()]
+    from smoothsde_tpu.utils.misc import device_float, device_int
+
+    fe_blocks = [device_float(X) for X in design.fe_blocks()]
+    re_blocks = [device_float(X) for X in design.re_blocks()]
     ncol_fe = design.ncol_fe
     ncol_re_per_param = [X.shape[1] for X in design.re_blocks()]
     fe_off = np.concatenate([[0], np.cumsum(ncol_fe)]).astype(int)
@@ -107,16 +109,16 @@ def build_objective(
     n_smooth = getattr(design, "n_lambda", len(design.ncol_re))
     has_re = p_re > 0
 
-    obs_j = jnp.asarray(obs, float)
-    times_j = jnp.asarray(times, float)
-    ids_j = jnp.asarray(np.asarray(ids))
+    obs_j = device_float(obs)
+    times_j = device_float(times)
+    ids_j = device_int(ids)
     # Inter-observation intervals computed HOST-SIDE in f64 before any
     # device cast: diff() of f32-encoded absolute times quantizes dt
     # (~3% at t ~ 3e4) and dominated the measured long-horizon f32
     # error; the intervals themselves are f32-exact to ~6e-8 relative.
     from smoothsde_tpu.ops.kalman_soa import precompute_dt
 
-    dt_j = jnp.asarray(precompute_dt(times, ids), float)
+    dt_j = device_float(precompute_dt(times, ids))
     loglik_ad = None  # forward-mode-capable twin, set where it differs
     # Host-side plan to batch the AD-twin's sequential filter per track
     # (scan depth = longest track instead of total n); None when it
@@ -145,7 +147,7 @@ def build_objective(
         if len(col_decay) != len(ind_decay):
             raise ValueError("'col_decay' and 'ind_decay' lengths differ")
         n_decay = int(len(np.unique(ind_decay)))
-        t_decay_blocks = jnp.asarray(t_decay.reshape(n_par, n))
+        t_decay_blocks = device_float(t_decay.reshape(n_par, n))
         for c, ind in zip(col_decay, ind_decay):
             c0 = int(c) - 1  # 1-based as in the reference
             j = int(np.searchsorted(re_off, c0, side="right") - 1)
@@ -297,10 +299,10 @@ def build_objective(
         H_array = np.asarray(H_array, float)
         if H_array.ndim == 3 and H_array.shape[0] != n and H_array.shape[-1] == n:
             H_array = np.moveaxis(H_array, -1, 0)
-        H_array = jnp.asarray(H_array)
+        H_array = device_float(H_array)
     P0 = other_data.get("P0")
     if P0 is not None:
-        P0 = jnp.asarray(np.asarray(P0, float))
+        P0 = device_float(P0)
 
     if spec.kind == "closed_form":
         other = {"df": float(other_data["df"])} if spec.type == "BM_t" else None
@@ -315,9 +317,9 @@ def build_objective(
         innovations = None
     else:
         if spec.type == "ESEAL_SSM":
-            h = jnp.asarray(np.asarray(other_data["h"], float))
-            R = jnp.asarray(np.asarray(other_data["R"], float))
-            dep_fat = jnp.asarray(np.asarray(other_data["dep_fat"], float))
+            h = device_float(other_data["h"])
+            R = device_float(other_data["R"])
+            dep_fat = device_float(other_data["dep_fat"])
             # Priors on sigma^2 and tau^2. The reference hard-codes
             # Schick et al. (2013) inverse-gamma priors
             # (nllk_e_seal_ssm.hpp:215-216); here they are

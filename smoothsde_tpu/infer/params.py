@@ -100,6 +100,20 @@ class ParamPacker:
         return full
 
     def split_estimates(self, outer, inner=None) -> Dict[str, np.ndarray]:
-        """Full numpy dict of estimates (fixed entries at their values)."""
-        full = self.unpack(jnp.asarray(outer), None if inner is None else jnp.asarray(inner))
-        return {k: np.asarray(v) for k, v in full.items()}
+        """Full numpy dict of estimates (fixed entries at their values).
+
+        Pure NumPy on purpose: this is host-side bookkeeping after a
+        fit, and eager jnp scatter ops here would each pay a device
+        dispatch (several seconds of a warm fit's wall-clock through a
+        remote-TPU tunnel)."""
+        outer = np.asarray(outer, float)
+        inner_v = None if inner is None else np.asarray(inner, float)
+        full: Dict[str, np.ndarray] = {}
+        for name in self.order:
+            full[name] = np.array(self.blocks[name].init, float)
+        for pos, (name, i) in enumerate(self._outer_index):
+            full[name][i] = outer[pos]
+        if inner_v is not None:
+            for pos, (name, i) in enumerate(self._inner_index):
+                full[name][i] = inner_v[pos]
+        return full

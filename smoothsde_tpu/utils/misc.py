@@ -60,3 +60,28 @@ def ctcrw_cov(beta: float, sigma: float, dt: float) -> np.ndarray:
     return np.array(
         [[tt["q11"], tt["q01"]], [tt["q01"], tt["q00"]]]
     )
+
+
+def device_float(x):
+    """Host-side dtype-exact transfer of `x` as the canonical JAX float.
+
+    `jnp.asarray(x, float)` on a float64 NumPy array dispatches an eager
+    convert_element_type op on the accelerator — through a remote-TPU
+    tunnel each such op costs a ~0.5 s eager compile per process (no
+    persistent-cache hit for eager ops). Casting in NumPy first makes
+    the transfer a pure H2D copy.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    dt = np.float64 if jax.config.jax_enable_x64 else np.float32
+    return jnp.asarray(np.asarray(x, dt))
+
+
+def device_int(x):
+    """Same as device_float for the canonical JAX integer dtype."""
+    import jax
+    import jax.numpy as jnp
+
+    dt = np.int64 if jax.config.jax_enable_x64 else np.int32
+    return jnp.asarray(np.asarray(x, dt))

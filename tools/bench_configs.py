@@ -231,6 +231,7 @@ def main():
         "config": cfg if len(cfg) > 1 else int(cfg),
         "backend": jax.default_backend(),
         "optimizer": optimizer,
+        "optimizer_resolved": res.optimizer,
         "mode": "warm" if warm else "cold",
         "n_obs": sde.n_obs(),
         "converged": res.convergence == 0,
