@@ -93,7 +93,10 @@ def fit_model(
             else "scipy"
         )
 
-    from smoothsde_tpu.utils.cache import maybe_enable_default_cache
+    from smoothsde_tpu.utils.cache import (
+        aot_cached,
+        maybe_enable_default_cache,
+    )
     from smoothsde_tpu.utils.profiling import StageTimer, xla_trace
 
     # Persistent XLA compile cache: the first fit of a model shape pays
@@ -109,16 +112,25 @@ def fit_model(
         joint_nllk_ad=getattr(bundle, "joint_nllk_ad", None),
         hess_plan=getattr(bundle, "hess_plan", None),
     )
-    val_grad = jax.jit(jax.value_and_grad(marginal, has_aux=True))
 
     x0 = packer.outer_init()
-    b_warm = jnp.asarray(packer.inner_init())
+    # host-side: jitted calls transfer NumPy args with the dispatch, so
+    # an eager H2D here would only add a tunnel round trip
+    b_warm = packer.inner_init()
+
+    dt_np = np.float64 if jax.config.jax_enable_x64 else np.float32
+    token = getattr(bundle, "cache_token", None)
+    x0_ex = np.asarray(x0, dt_np)
+    b0_ex = np.asarray(b_warm, dt_np)
+    val_grad = aot_cached(
+        "val_grad", token,
+        lambda: jax.value_and_grad(marginal, has_aux=True),
+        (x0_ex, b0_ex),
+    )
     if len(x0) == 0:
         # everything is integrated out (e.g. REML with no free
         # variance parameters): a single marginal evaluation is the fit
-        (v, b), _ = jax.jit(jax.value_and_grad(marginal, has_aux=True))(
-            jnp.zeros((0,)), b_warm
-        )
+        (v, b), _ = val_grad(x0_ex, b0_ex)
         return FitResult(
             par=np.zeros(0), par_names=[], value=float(v),
             convergence=0, counts={"function": 1, "gradient": 1},
@@ -137,9 +149,11 @@ def fit_model(
         fuse_fd = compute_sdreport and n_out > 0
 
         def run_fn(x, b):
+            # returns a FLAT tuple: custom pytree nodes (LBFGSResult)
+            # don't round-trip through jax.export serialization
             r = device_lbfgs(marginal, x, b, maxiter=maxiter)
             if not fuse_fd:
-                return r, None
+                return tuple(r)
             # FD Hessian of the marginal at the optimum IN-GRAPH: the
             # whole fit + sdreport sweep is one executable and one
             # host<->device round trip (VERDICT r2 weakness 4 — the
@@ -166,14 +180,29 @@ def fit_model(
                 2.0 * (hs / 10.0)[:, None]
             )
             bad = ~jnp.all(jnp.isfinite(H1), axis=1, keepdims=True)
-            return r, jnp.where(bad, H2, H1)
+            return tuple(r) + (jnp.where(bad, H2, H1),)
 
-        run = jax.jit(run_fn)
+        run_token = (
+            None if token is None
+            else f"{token}-lbfgs{maxiter}-fd{fd_step if fuse_fd else 0}"
+        )
+        run = aot_cached("lbfgs_run", run_token, lambda: run_fn,
+                         (x0_ex, b0_ex))
+        # NumPy in, one device_get out: jitted calls transfer their
+        # arguments as part of the dispatch, so no eager-op compiles
+        # are paid, and fetching the whole result pytree at once costs
+        # one tunnel round trip instead of one per field (each ~25 ms
+        # RTT, and each NEW eager op over the remote tunnel pays an
+        # uncached ~0.5-2 s compile).
+        from smoothsde_tpu.infer.lbfgs import LBFGSResult
+
         t0 = time.time()
         with timer.stage("device_lbfgs"):
-            r, H_fd = run(jnp.asarray(x0), b_warm)
-            jax.block_until_ready(r.x)
+            vals = jax.device_get(run(x0_ex, b0_ex))
         systime = time.time() - t0
+        n_fields = len(LBFGSResult._fields)
+        r = LBFGSResult(*vals[:n_fields])
+        H_fd = vals[n_fields] if fuse_fd else None
         out = FitResult(
             par=np.asarray(r.x, float),
             par_names=packer.outer_names(),
@@ -194,9 +223,7 @@ def fit_model(
             _sdreport(
                 out, bundle, packer, val_grad, fd_step, timer,
                 marginal=marginal, mode=sdreport_mode,
-                H_precomputed=(
-                    np.asarray(H_fd) if H_fd is not None else None
-                ),
+                H_precomputed=H_fd,
             )
         out.timings = timer.summary()
         return out
@@ -206,12 +233,15 @@ def fit_model(
         key = x.tobytes()
         if key not in cache:
             with timer.stage("marginal_nllk_grad"):
-                (v, b), g = val_grad(jnp.asarray(x), b_warm)
-                v.block_until_ready()
-            if np.isfinite(float(v)):
-                b_warm = b
+                # NumPy in (transfer rides the dispatch), ONE device_get
+                # out: separate float(v)/np.asarray(g)/np.asarray(b)
+                # fetches each pay a tunnel round trip (~25 ms)
+                (v, b), g = val_grad(np.asarray(x, dt_np), b_warm)
+                v_np, g_np, b_np = jax.device_get((v, g, b))
+            if np.isfinite(v_np):
+                b_warm = b  # stays on device for the next dispatch
             cache.clear()
-            cache[key] = (float(v), np.asarray(g), np.asarray(b))
+            cache[key] = (float(v_np), g_np, b_np)
         return cache[key]
 
     # Line-search-safe wrappers: replace non-finite values with a large
@@ -366,7 +396,11 @@ def _sdreport(out, bundle, packer, val_grad, fd_step, timer,
     b_hat = np.asarray(out.bhat)
 
     n_out = len(x_hat)
-    b_hat_j = jnp.asarray(b_hat)
+    dt_np = np.float64 if jax.config.jax_enable_x64 else np.float32
+    # NumPy everywhere host-side: eager jnp.asarray of f64 arrays
+    # dispatches a convert_element_type op (uncached ~0.5-2 s compile
+    # over a remote-TPU tunnel); jitted calls transfer NumPy args free.
+    b_hat_j = np.asarray(b_hat, dt_np)
     hs = fd_step * np.maximum(1.0, np.abs(x_hat))
     if H_precomputed is not None:
         # the device-optimizer path computed the FD sweep inside the
@@ -384,21 +418,31 @@ def _sdreport(out, bundle, packer, val_grad, fd_step, timer,
     if mode == "skip":
         pass
     elif mode == "device" and marginal is not None and n_out:
-        fd_grad = jax.jit(
-            lambda x, b, h: jax.lax.map(
-                lambda xp: jax.value_and_grad(marginal, has_aux=True)(
-                    xp, b
-                )[1],
-                jnp.concatenate(
-                    [x[None, :] + jnp.diag(h), x[None, :] - jnp.diag(h)]
-                ),
-            )
+        from smoothsde_tpu.utils.cache import aot_cached
+
+        token = getattr(bundle, "cache_token", None)
+        fd_grad = aot_cached(
+            "fd_grad",
+            None if token is None else f"{token}-fdsweep",
+            lambda: (
+                lambda x, b, h: jax.lax.map(
+                    lambda xp: jax.value_and_grad(
+                        marginal, has_aux=True
+                    )(xp, b)[1],
+                    jnp.concatenate(
+                        [x[None, :] + jnp.diag(h),
+                         x[None, :] - jnp.diag(h)]
+                    ),
+                )
+            ),
+            (np.asarray(x_hat, dt_np), b_hat_j, np.asarray(hs, dt_np)),
         )
 
         def _sweep(hs_v):
-            G = np.asarray(
+            G = jax.device_get(
                 fd_grad(
-                    jnp.asarray(x_hat), b_hat_j, jnp.asarray(hs_v)
+                    np.asarray(x_hat, dt_np), b_hat_j,
+                    np.asarray(hs_v, dt_np),
                 )
             )
             return (G[:n_out] - G[n_out:]) / (2.0 * hs_v[:, None])
@@ -422,7 +466,7 @@ def _sdreport(out, bundle, packer, val_grad, fd_step, timer,
         def _grads_at(xs):
             out = []
             for x in np.asarray(xs):
-                (_, _), g = val_grad(jnp.asarray(x), b_hat_j)
+                (_, _), g = val_grad(np.asarray(x, dt_np), b_hat_j)
                 out.append(np.asarray(g))
             return np.stack(out)
 
@@ -464,7 +508,9 @@ def _sdreport(out, bundle, packer, val_grad, fd_step, timer,
             # jax.hessian needs the forward-mode-capable objective.
             return bundle.joint_nllk_ad(full)
 
-        z_hat = jnp.concatenate([jnp.asarray(x_hat), jnp.asarray(b_hat)])
+        z_hat = np.concatenate(
+            [np.asarray(x_hat, dt_np), np.asarray(b_hat, dt_np)]
+        )
         with timer.stage("joint_precision"):
             # One-shot diagnostic: compile and run it on the host CPU
             # backend — compiling a fresh second-order graph through a

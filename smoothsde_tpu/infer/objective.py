@@ -67,10 +67,66 @@ class ObjectiveBundle:
     innovations: Optional[Callable] = None  # SSMs: fn(full) -> (u, F, ok)
     hess_plan: Optional[dict] = None  # colored inner-Hessian plan
     kind: str = ""  # 'closed_form' | 'ssm' (optimizer auto-selection)
+    # content hash over (structure, data, options): key for the AOT
+    # executable cache; None disables AOT caching for this bundle
+    cache_token: Optional[str] = None
 
     def __post_init__(self):
         if self.joint_nllk_ad is None:
             self.joint_nllk_ad = self.joint_nllk
+
+
+def _content_token(spec, design, obs, times, ids, other_data, fixpar,
+                   init, map_fix, kalman_impl, mesh, mesh_axis, reml):
+    """sha256 over the model structure, data, and options (host-side,
+    before any device transfer). Two build_objective calls with equal
+    tokens trace to identical computations."""
+    import hashlib
+
+    import jax
+
+    h = hashlib.sha256()
+
+    def _arr(x):
+        x = np.ascontiguousarray(np.asarray(x))
+        h.update(str(x.dtype).encode())
+        h.update(str(x.shape).encode())
+        h.update(x.tobytes())
+
+    def _obj(o):
+        if isinstance(o, dict):
+            for k in sorted(o):
+                h.update(str(k).encode())
+                _obj(o[k])
+        elif isinstance(o, (list, tuple)):
+            for v in o:
+                _obj(v)
+        elif isinstance(o, np.ndarray):
+            _arr(o)
+        else:
+            h.update(repr(o).encode())
+
+    h.update(jax.__version__.encode())
+    h.update(jax.default_backend().encode())
+    h.update(b"x64" if jax.config.jax_enable_x64 else b"x32")
+    _obj((spec.type, list(spec.param_names), spec.kind, fixpar,
+          kalman_impl, mesh_axis, bool(reml)))
+    if mesh is not None:
+        _obj((tuple(mesh.axis_names), tuple(mesh.devices.shape),
+              len(mesh.devices.flat)))
+    _arr(obs)
+    _arr(times)
+    _arr(np.asarray(ids))
+    for X in design.fe_blocks():
+        _arr(X)
+    for X in design.re_blocks():
+        _arr(X)
+    for S in design.S_blocks:
+        _arr(S)
+    _obj(other_data)
+    _obj(init)
+    _obj(map_fix)
+    return h.hexdigest()[:32]
 
 
 def build_objective(
@@ -95,6 +151,18 @@ def build_objective(
     n, n_dim = obs.shape
     param_names = list(spec.param_names)
     n_par = len(param_names)
+
+    # Content token over everything that shapes the traced computation
+    # (model structure + data + options): the AOT executable cache
+    # (utils/cache.py) keys serialized jax.export artifacts on it, so a
+    # re-fit of the same model+data in a fresh process skips Python
+    # tracing/lowering entirely — the TMB "compile once per model,
+    # reuse across sessions" UX (vignette:262-338), except the traced
+    # graph embeds the data as constants, so data is part of the key.
+    cache_token = _content_token(
+        spec, design, obs, times, ids, other_data, fixpar, init,
+        map_fix, kalman_impl, mesh, mesh_axis, reml,
+    )
 
     from smoothsde_tpu.utils.misc import device_float, device_int
 
@@ -634,4 +702,5 @@ def build_objective(
         innovations=innovations if spec.kind == "ssm" else None,
         hess_plan=hess_plan,
         kind=spec.kind,
+        cache_token=cache_token,
     )

@@ -51,6 +51,70 @@ def enable_compilation_cache(
     return cache_dir
 
 
+def _aot_dir() -> str | None:
+    """Directory for serialized jax.export artifacts (next to the XLA
+    cache). None when caching is disabled."""
+    if os.environ.get("SMOOTHSDE_NO_COMPILE_CACHE"):
+        return None
+    base = os.environ.get("SMOOTHSDE_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "smoothsde_tpu"
+    )
+    d = os.path.join(base, "aot")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def aot_cached(name: str, token: str | None, make_fn, example_args):
+    """Executable cache over Python tracing, not just XLA compilation.
+
+    The persistent XLA cache (above) removes backend compile time, but
+    a warm re-fit still paid seconds of Python tracing + StableHLO
+    lowering of the Laplace/Pallas graphs on its FIRST call (measured
+    7.4 s for the 1.5k-step CTCRW config). This layer serializes the
+    traced computation itself via jax.export; a later process
+    deserializes the StableHLO (milliseconds) and only pays an XLA
+    compile that the persistent cache then serves.
+
+    `token` must capture everything the trace closes over — model
+    structure, DATA (embedded as constants), options — see
+    ObjectiveBundle.cache_token. Returns a jitted callable; falls back
+    to plain jax.jit(make_fn()) when caching is off, the artifact
+    can't be built (export limitations), or the blob is stale.
+    """
+    import jax
+
+    d = _aot_dir()
+    if d is None or token is None:
+        return jax.jit(make_fn())
+    from jax import export as jexport
+
+    path = os.path.join(d, f"{name}-{token}.jaxexp")
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                exp = jexport.deserialize(bytearray(f.read()))
+            return jax.jit(exp.call)
+        except Exception:
+            try:
+                os.remove(path)  # stale/corrupt blob: rebuild below
+            except OSError:
+                pass
+    fn = jax.jit(make_fn())
+    try:
+        exp = jexport.export(fn)(*example_args)
+        blob = exp.serialize()
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        # return the export-backed callable so THIS process compiles the
+        # same wrapped module later processes will load (its XLA compile
+        # lands in the persistent cache for them)
+        return jax.jit(exp.call)
+    except Exception:
+        return fn
+
+
 def maybe_enable_default_cache() -> None:
     """Idempotent auto-enable hook called from `fit_model`.
 
