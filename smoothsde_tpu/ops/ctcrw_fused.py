@@ -124,17 +124,18 @@ def _elem_from_inputs(t, p0_pos, p0_vel, h, l):
     F[1][0] = 0 and symmetric C/J. Returns an Element2 of (8, 128)
     arrays (C/J tuples share the off-diagonal array).
     """
-    f01 = t.f01[l]
-    f11 = t.f11[l]
-    q00 = t.q00[l]
-    q01 = t.q01[l]
-    q11 = t.q11[l]
-    c0 = t.c0[l]
-    c1 = t.c1[l]
-    y = t.y[l]
-    R = t.rst[l]
-    U = t.upd[l]
+    return _elem_from_vals(
+        t.f01[l], t.f11[l], t.q00[l], t.q01[l], t.q11[l],
+        t.c0[l], t.c1[l], t.y[l], t.rst[l], t.upd[l],
+        p0_pos, p0_vel, h,
+    )
 
+
+def _elem_from_vals(f01, f11, q00, q01, q11, c0, c1, y, R, U,
+                    p0_pos, p0_vel, h):
+    """Filtering element from raw transition/observation values (the
+    body of _elem_from_inputs, shared with the par-space forward
+    kernels which rebuild the transition in-register)."""
     S = q00 + h
     inv_s = 1.0 / S
     K0 = q00 * inv_s
@@ -306,7 +307,7 @@ def _block_prefix_pallas(totals, id_vals, unpack, pack, combine,
 
 
 def fused_filter(sys, want_moments: bool = True,
-                 tiled_moments: bool = False):
+                 tiled_moments: bool = False, stitch=None):
     """Run the fused forward filter for a CtcrwSystem.
 
     Returns (llk, m_f (2-tuple of (d, n)), P_f (2x2 tuple)) with the
@@ -317,6 +318,15 @@ def fused_filter(sys, want_moments: bool = True,
     tile layout (rows m0, m1, P00, P01, P11), for handing straight to
     fused_backward / fused_backward_par without the untile/retile
     round trip.
+
+    stitch: optional callable Element2[(d,)] -> Element2[(d,)] mapping
+    this call's INCLUSIVE total filtering element (the composition of
+    every step it was given) to a PREFIX element composed of everything
+    that precedes those steps. Used by the time-sharded path
+    (parallel/dist.py): each device filters its chunk, `stitch`
+    all-gathers the chunk totals over the mesh axis and returns the
+    exclusive device prefix, and the seeded re-scan then produces
+    globally exact moments and likelihood terms on every device.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -438,6 +448,31 @@ def fused_filter(sys, want_moments: bool = True,
 
         excl_tiles = [from_dnb(x) for x in excl]
 
+    if stitch is not None:
+        # Inclusive total of THIS call's steps, per dim: the exclusive
+        # prefix at each dim's last block composed with that block's
+        # total (blocks partition time contiguously; trailing padding
+        # slots/blocks hold identity elements so the composition is
+        # exact). Lane = dim * NB + block (tile row-major).
+        last_idx = (np.arange(d) + 1) * NB - 1
+        excl_last = _unpack_elem_full(
+            [t.reshape(lanes)[last_idx] for t in excl_tiles]
+        )
+        tot_last = _unpack_elem_full(
+            [t.reshape(lanes)[last_idx] for t in totals]
+        )
+        chunk_total = _combine2(excl_last, tot_last)
+        seed = stitch(chunk_total)  # prefix of everything before us
+        lane_dim = np.arange(lanes) // NB
+
+        def _expand(c):  # (d,) -> (MID, 128) by lane's dim index
+            return jnp.take(c, lane_dim, axis=0).reshape(MID, 128)
+
+        seed_e = jax.tree.map(_expand, seed)
+        excl_tiles = _pack_elem(
+            _combine2(seed_e, _unpack_elem_full(excl_tiles))
+        )
+
     # ---- kernel 2: seeded re-scan, moments + llk ----
     def scan_kernel(h_ref, in_ref, *refs):
         ins = _Tiles(*(_Row(in_ref, i) for i in range(10)))
@@ -518,6 +553,299 @@ def fused_filter(sys, want_moments: bool = True,
     m_f = (m0, m1)
     P_f = ((P00, P01), (P01, P11))
     return llk, m_f, P_f
+
+
+# ---------------------------------------------------------------------------
+# Par-space forward: rebuild the entering transition in-register
+# ---------------------------------------------------------------------------
+
+
+class _ParStack(NamedTuple):
+    """Row view over the SHARED 10-row par-space stack. Rows 0-8 are
+    exactly fused_backward_par's input rows (slot i = par/dt of the
+    transition LEAVING i), so ONE _stack_tiles pass serves both the
+    forward and the backward kernels; row 9 (`live`) marks real slots
+    (0 at padding) — the forward needs it because its prev-slot carry
+    would otherwise drag the last real transition into the first pad
+    slot, where the element must be the identity."""
+
+    lt: jax.Array
+    ln: jax.Array
+    dtv: jax.Array
+    mu: jax.Array
+    te: jax.Array
+    tvn: jax.Array
+    y: jax.Array
+    upd: jax.Array
+    rst: jax.Array
+    live: jax.Array
+
+
+_PAR_ROWS = 10
+_N_BD = 5  # boundary rows: prev lt, ln, dt, mu, rst per lane
+
+
+def build_par_stack(mu, lt, ln, dtv, te, tvn, yd, upd, rst,
+                    d, n, NB, L, L_pad, MID, dtype):
+    """The shared par-space input stack + per-lane boundary tiles.
+
+    Returns (tiles (L_pad, 10, MID, 128), bd (5, MID, 128)). bd holds
+    the PREVIOUS slot's (lt, ln, dt, mu, rst) for each lane's first
+    step (step b*L - 1, a different lane's last step): the forward
+    kernels carry prev-slot par across steps in scratch and must seed
+    that carry at lane starts. Lane 0 rows are masked by rst = 1 (the
+    global first step's entering transition is the identity)."""
+    raw = [lt, ln, dtv, mu, te, tvn, yd, upd, rst,
+           jnp.ones((n,), dtype)]
+    tiles = _stack_tiles(
+        raw, [0.0] * _PAR_ROWS, d, n, NB, L, L_pad, MID, dtype
+    )
+    bidx = np.maximum(np.arange(NB) * L - 1, 0)
+    bidx = np.minimum(bidx, n - 1)
+    first = np.arange(NB) * L == 0  # lane starts the whole sequence
+
+    def lane_tile(row, is_mu=False):
+        v = row[..., bidx] if is_mu else jnp.take(row, bidx, axis=0)
+        v = jnp.broadcast_to(v, (d, NB)).astype(dtype)
+        return v.reshape(MID, 128)
+
+    rst_b = jnp.take(rst.astype(dtype), bidx, axis=0)
+    rst_b = jnp.where(jnp.asarray(first), jnp.asarray(1.0, dtype), rst_b)
+    rst_b = jnp.broadcast_to(rst_b, (d, NB)).reshape(MID, 128)
+    bd = jnp.stack([
+        lane_tile(lt), lane_tile(ln), lane_tile(dtv),
+        lane_tile(mu, is_mu=True), rst_b,
+    ])
+    return tiles, bd
+
+
+def fused_filter_par(tiles, bd, h, *, d, n, NB, L, L_pad, MID, dtype,
+                     p0_pos, p0_vel, want_moments=True,
+                     tiled_moments=False, stitch=None):
+    """Forward filter over the par-space stack (no element arrays).
+
+    Mirrors fused_filter but rebuilds each step's ENTERING transition
+    in-register from the PREVIOUS slot's par (carried in scratch across
+    the chunked grid, seeded per lane from `bd`): the per-step terms do
+    not depend on the scan carry, so their latency hides under the
+    combine chain, while the XLA element-build pass and its 10-row
+    stack disappear from the HBM budget (the 10-row par stack is SHARED
+    with fused_backward_par). Values match fused_filter to ~1 ulp
+    (em1_psi_phi_kernel vs the expm1-based XLA build)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    lanes = d * NB
+    L_CH = 16
+    n_lc = L_pad // L_CH
+    grid = (MID // 8, n_lc)
+
+    h_arr = jnp.broadcast_to(jnp.asarray(h, dtype).reshape(1, 1), (1, 1))
+
+    in_spec = pl.BlockSpec(
+        (L_CH, _PAR_ROWS, 8, 128), lambda m, lc: (lc, 0, m, 0),
+        memory_space=pltpu.VMEM,
+    )
+    bd_spec = pl.BlockSpec(
+        (_N_BD, 8, 128), lambda m, lc: (0, m, 0),
+        memory_space=pltpu.VMEM,
+    )
+    mom_spec = pl.BlockSpec(
+        (L_CH, 5, 8, 128), lambda m, lc: (lc, 0, m, 0),
+        memory_space=pltpu.VMEM,
+    )
+    tot_spec = pl.BlockSpec(
+        (8, 128), lambda m, lc: (m, 0), memory_space=pltpu.VMEM
+    )
+    h_spec = pl.BlockSpec(
+        (1, 1), lambda m, lc: (0, 0), memory_space=pltpu.SMEM
+    )
+
+    def _step_elem(ins, pv, l, h):
+        """(element, new prev-par tuple) for slot l given prev-par pv =
+        (lt, ln, dt, mu, rst) of slot l-1."""
+        live = ins.live[l]
+        # transition entering l = transition leaving l-1; identity when
+        # l-1 was a reset OR l is padding (the prev carry would
+        # otherwise drag the last real transition into the pads)
+        Rm = 1.0 - live * (1.0 - pv[4])
+        w = _par_terms_vals(pv[0], pv[1], pv[2], pv[3], Rm)
+        e = _elem_from_vals(
+            w["f01"], w["f11"], w["q00"], w["q01"], w["q11"],
+            w["c0"], w["c1"], ins.y[l], ins.rst[l], ins.upd[l],
+            p0_pos, p0_vel, h,
+        )
+        new_pv = (ins.lt[l], ins.ln[l], ins.dtv[l], ins.mu[l],
+                  ins.rst[l])
+        return e, w, new_pv
+
+    # ---- kernel 1p: block totals ----
+    def totals_kernel(h_ref, in_ref, bd_ref, *refs):
+        ins = _ParStack(*(_Row(in_ref, i) for i in range(_PAR_ROWS)))
+        outs = refs[:_N_TOT]
+        car = refs[_N_TOT : 2 * _N_TOT]
+        pvs = refs[2 * _N_TOT :]
+        lc = pl.program_id(1)
+        h = h_ref[0, 0]
+
+        @pl.when(lc == 0)
+        def _():
+            for i in range(_N_TOT):
+                car[i][...] = jnp.full((8, 128), _ID_VALS[i], dtype)
+            for i in range(_N_BD):
+                pvs[i][...] = bd_ref[i]
+
+        c = _unpack_elem_full([r[...] for r in car])
+        pv = tuple(pvs[i][...] for i in range(_N_BD))
+        for l in range(L_CH):
+            e, _, pv = _step_elem(ins, pv, l, h)
+            c = _combine2(c, e)
+        new = _pack_elem(c)
+        for i in range(_N_TOT):
+            car[i][...] = new[i]
+        for i in range(_N_BD):
+            pvs[i][...] = pv[i]
+
+        @pl.when(lc == n_lc - 1)
+        def _():
+            for i in range(_N_TOT):
+                outs[i][...] = car[i][...]
+
+    totals = pl.pallas_call(
+        totals_kernel,
+        grid=grid,
+        in_specs=[h_spec, in_spec, bd_spec],
+        out_specs=[tot_spec] * _N_TOT,
+        out_shape=[jax.ShapeDtypeStruct((MID, 128), dtype)] * _N_TOT,
+        scratch_shapes=[pltpu.VMEM((8, 128), dtype)] * (_N_TOT + _N_BD),
+        interpret=_interpret(),
+    )(h_arr, tiles, bd)
+
+    # ---- phase 2: exclusive prefix across blocks (+ device stitch) --
+    RPD = NB // 128
+    if NB % 128 == 0 and RPD & (RPD - 1) == 0:
+        excl_tiles = _block_prefix_pallas(
+            list(totals), _ID_VALS, _unpack_elem_full, _pack_elem,
+            _combine2, NB, MID, dtype, reverse=False,
+            interpret=_interpret(),
+        )
+    else:
+        def to_dnb(x):
+            return x.reshape(lanes)[: d * NB].reshape(d, NB)
+
+        tot_dnb = [to_dnb(x) for x in totals]
+        incl = jax.lax.associative_scan(
+            _combine2, _unpack_elem_full(tot_dnb), axis=-1
+        )
+        incl_flat = _pack_elem(incl)
+        excl = [
+            jnp.concatenate(
+                [jnp.full((d, 1), _ID_VALS[i], dtype), x[:, :-1]],
+                axis=1,
+            )
+            for i, x in enumerate(incl_flat)
+        ]
+        excl_tiles = [x.reshape(lanes).reshape(MID, 128) for x in excl]
+
+    if stitch is not None:
+        last_idx = (np.arange(d) + 1) * NB - 1
+        excl_last = _unpack_elem_full(
+            [t.reshape(lanes)[last_idx] for t in excl_tiles]
+        )
+        tot_last = _unpack_elem_full(
+            [t.reshape(lanes)[last_idx] for t in totals]
+        )
+        chunk_total = _combine2(excl_last, tot_last)
+        seed = stitch(chunk_total)
+        lane_dim = np.arange(lanes) // NB
+
+        def _expand(c):
+            return jnp.take(c, lane_dim, axis=0).reshape(MID, 128)
+
+        seed_e = jax.tree.map(_expand, seed)
+        excl_tiles = _pack_elem(
+            _combine2(seed_e, _unpack_elem_full(excl_tiles))
+        )
+
+    # ---- kernel 2p: seeded re-scan, moments + llk ----
+    def scan_kernel(h_ref, in_ref, bd_ref, *refs):
+        ins = _ParStack(*(_Row(in_ref, i) for i in range(_PAR_ROWS)))
+        pref = refs[:_N_TOT]
+        m_out = refs[_N_TOT]
+        llk_out = refs[_N_TOT + 1]
+        car = refs[_N_TOT + 2 : 2 * _N_TOT + 2]
+        llk_acc = refs[2 * _N_TOT + 2]
+        pvs = refs[2 * _N_TOT + 3 :]
+        lc = pl.program_id(1)
+        h = h_ref[0, 0]
+
+        @pl.when(lc == 0)
+        def _():
+            for i in range(_N_TOT):
+                car[i][...] = pref[i][...]
+            llk_acc[...] = jnp.zeros((8, 128), dtype)
+            for i in range(_N_BD):
+                pvs[i][...] = bd_ref[i]
+
+        c = _unpack_elem_full([r[...] for r in car])
+        acc = llk_acc[...]
+        pv = tuple(pvs[i][...] for i in range(_N_BD))
+        for l in range(L_CH):
+            e, w, pv = _step_elem(ins, pv, l, h)
+            # predictive llk term BEFORE absorbing step l
+            m0p, m1p = c.b
+            P00p, P01p = c.C[0]
+            P11p = c.C[1][1]
+            a_pred = m0p + w["f01"] * m1p + w["c0"]
+            Pp00 = (
+                P00p + 2.0 * w["f01"] * P01p
+                + w["f01"] * w["f01"] * P11p + w["q00"]
+            )
+            F = Pp00 + h
+            u = ins.y[l] - a_pred
+            acc = acc + ins.upd[l] * (-0.5) * (jnp.log(F) + u * u / F)
+
+            c = _combine2(c, e)
+            m_out[l, 0] = c.b[0]
+            m_out[l, 1] = c.b[1]
+            m_out[l, 2] = c.C[0][0]
+            m_out[l, 3] = c.C[0][1]
+            m_out[l, 4] = c.C[1][1]
+        new = _pack_elem(c)
+        for i in range(_N_TOT):
+            car[i][...] = new[i]
+        llk_acc[...] = acc
+        for i in range(_N_BD):
+            pvs[i][...] = pv[i]
+
+        @pl.when(lc == n_lc - 1)
+        def _():
+            llk_out[...] = llk_acc[...]
+
+    outs = pl.pallas_call(
+        scan_kernel,
+        grid=grid,
+        in_specs=[h_spec, in_spec, bd_spec] + [tot_spec] * _N_TOT,
+        out_specs=[mom_spec, tot_spec],
+        out_shape=(
+            jax.ShapeDtypeStruct((L_pad, 5, MID, 128), dtype),
+            jax.ShapeDtypeStruct((MID, 128), dtype),
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((8, 128), dtype)] * (_N_TOT + 1 + _N_BD)
+        ),
+        interpret=_interpret(),
+    )(h_arr, tiles, bd, *excl_tiles)
+
+    llk = jnp.sum(outs[1])
+    if not want_moments:
+        return llk, None, None
+    if tiled_moments:
+        return llk, outs[0], None
+    m0, m1, P00, P01, P11 = _unstack_tiles(
+        outs[0], d, n, NB, L, L_pad, MID
+    )
+    return llk, (m0, m1), ((P00, P01), (P01, P11))
 
 
 # ---------------------------------------------------------------------------
@@ -993,13 +1321,17 @@ def _par_terms(t, l):
     element-space backward. Padding slots (lt = ln = dtv = mu = 0)
     evaluate to the identity element with no extra masking
     (u = 0 -> e1 = 1, m1 = 0, phi = psi = 0)."""
+    return _par_terms_vals(t.lt[l], t.ln[l], t.dtv[l], t.mu[l], t.rst[l])
+
+
+def _par_terms_vals(lt, ln, dtv, m, R):
+    """Transition pieces from raw par values, identity-masked where
+    R = 1 (see _par_terms; shared by the par-space backward, which
+    feeds each slot's OWN par = the transition leaving it, and the
+    par-space forward, which feeds the PREVIOUS slot's par = the
+    transition entering it)."""
     from smoothsde_tpu.ops.stable import em1_psi_phi_kernel
 
-    lt = t.lt[l]
-    ln = t.ln[l]
-    dtv = t.dtv[l]
-    m = t.mu[l]
-    R = t.rst[l]
     tau = jnp.exp(lt)
     beta = 1.0 / tau
     nu = jnp.exp(ln)
@@ -1036,7 +1368,8 @@ def _smooth_elem_par(t, l, w):
 
 
 def fused_backward_par(yd, h, reset, prev_reset, update, p0_pos, p0_vel,
-                       mu, lt, ln, dt, m_f, gbar):
+                       mu, lt, ln, dt, m_f, gbar, stitch=None,
+                       te=None, tvn=None, tiles=None):
     """Parameter-space fused smoother + score.
 
     Same two-kernel structure as fused_backward, but the kernels
@@ -1052,6 +1385,16 @@ def fused_backward_par(yd, h, reset, prev_reset, update, p0_pos, p0_vel,
     mu (d, n); lt/ln/dt (n,); m_f the 5 tiled filtered-moment arrays
     from fused_filter(tiled_moments=True).
     Returns (mubar (d, n), ltbar (n,), lnbar (n,), ybar (d, n), hbar).
+
+    stitch: optional callable Smooth2[(d,)] -> Smooth2[(d,)] mapping
+    this call's total reverse (smoothing) element to the exclusive
+    SUFFIX element of everything after these steps — the time-sharded
+    mirror of fused_filter's stitch (all_gather of chunk reverse
+    totals). te / tvn: when the steps are a chunk of a longer
+    sequence, the track-end and transition-has-density masks must be
+    computed on the FULL sequence (they look one step ahead, across the
+    chunk edge) and passed in; by default they are derived from `reset`
+    with this call treated as the whole sequence.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1076,19 +1419,28 @@ def fused_backward_par(yd, h, reset, prev_reset, update, p0_pos, p0_vel,
         [x[..., 1:], jnp.zeros(x.shape[:-1] + (1,), x.dtype)], axis=-1
     )
 
-    te = jnp.concatenate([reset[1:], jnp.ones((1,), bool)])
-    tv = (~reset) & (~prev_reset)
-    tvn = sb(tv.astype(dtype))
+    if tiles is None:
+        if te is None:
+            te = jnp.concatenate([reset[1:], jnp.ones((1,), bool)])
+        if tvn is None:
+            tv = (~reset) & (~prev_reset)
+            tvn = sb(tv.astype(dtype))
 
-    raw = [
-        lt.astype(dtype), ln.astype(dtype),
-        jnp.asarray(dt, dtype), mu.astype(dtype),
-        te.astype(dtype), tvn,
-        yd, update.astype(dtype), reset.astype(dtype),
-    ]
-    # zero padding everywhere: zero par/dt evaluates to the identity
-    # element in _par_terms, and zero te/tvn/upd/rst masks the scores
-    tiles = _stack_tiles(raw, [0.0] * 9, d, n, NB, L, L_pad, MID, dtype)
+        raw = [
+            lt.astype(dtype), ln.astype(dtype),
+            jnp.asarray(dt, dtype), mu.astype(dtype),
+            te.astype(dtype), tvn,
+            yd, update.astype(dtype), reset.astype(dtype),
+        ]
+        # zero padding everywhere: zero par/dt evaluates to the
+        # identity element in _par_terms, zero te/tvn/upd/rst masks the
+        # scores
+        tiles = _stack_tiles(
+            raw, [0.0] * 9, d, n, NB, L, L_pad, MID, dtype
+        )
+    # else: the SHARED par-space stack from build_par_stack — rows 0-8
+    # are this function's input rows (row 9, `live`, is forward-only;
+    # the 9-row BlockSpecs below never touch it)
     # m_f comes straight from fused_filter's kernel 2 as one stacked
     # (L_pad, 5, MID, 128) array; padded slots hold real pos-def filter
     # states which form identity smoothing elements under te = 0 /
@@ -1189,6 +1541,30 @@ def fused_backward_par(yd, h, reset, prev_reset, update, p0_pos, p0_vel,
             for i, x in enumerate(incl_flat)
         ]
         excl_tiles = [x.reshape(lanes).reshape(MID, 128) for x in excl]
+
+    if stitch is not None:
+        # Total reverse element of THIS call's steps per dim: suffix at
+        # each dim's FIRST block composed (on the left) with that
+        # block's reverse total. _combine2_rev(acc, new) applies `new`
+        # outside `acc`, i.e. combine_rev(right_segment, left_segment).
+        first_idx = np.arange(d) * NB
+        excl_first = _unpack_sm(
+            [t.reshape(lanes)[first_idx] for t in excl_tiles]
+        )
+        tot_first = _unpack_sm(
+            [t.reshape(lanes)[first_idx] for t in totals]
+        )
+        chunk_total = _combine2_rev(excl_first, tot_first)
+        seed = stitch(chunk_total)  # suffix of everything after us
+        lane_dim = np.arange(lanes) // NB
+
+        def _expand(c):
+            return jnp.take(c, lane_dim, axis=0).reshape(MID, 128)
+
+        seed_e = jax.tree.map(_expand, seed)
+        excl_tiles = _pack_sm(
+            _combine2_rev(seed_e, _unpack_sm(excl_tiles))
+        )
 
     # ---- kernel 4: seeded backward re-scan + par-space score ----
     def score_kernel(h_ref, in_ref, mf_ref, *refs):

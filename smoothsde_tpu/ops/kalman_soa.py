@@ -195,7 +195,8 @@ class CtcrwSystem(NamedTuple):
 
 def _ctcrw_system(par_mat, obs, times, ids, sigma_obs, p0_pos=1.0,
                   p0_vel=10.0, dt=None, yd=None, h=None, reset=None,
-                  valid=None) -> CtcrwSystem:
+                  valid=None, pre_shifted=False,
+                  prev_reset=None) -> CtcrwSystem:
     """Build the per-step SoA system + filtering elements (shared by the
     likelihood, the smoother, and the analytic-gradient core).
 
@@ -209,6 +210,12 @@ def _ctcrw_system(par_mat, obs, times, ids, sigma_obs, p0_pos=1.0,
     same reason (a custom_vjp primal must not close over traced values
     — it leaks under shard_map); when all of dt/yd/h/reset/valid are
     given, obs/times/ids may be None.
+
+    pre_shifted=True: par_mat and dt already hold the values of the
+    transition ENTERING each step (the caller shifted them GLOBALLY —
+    required when the steps are a chunk of a longer sequence, where a
+    local shift would drop the real transition crossing the chunk
+    edge); `prev_reset` must then be supplied (also global).
     """
     dtype = par_mat.dtype
     if yd is not None:
@@ -263,13 +270,21 @@ def _ctcrw_system(par_mat, obs, times, ids, sigma_obs, p0_pos=1.0,
         h = jnp.asarray(sigma_obs, dtype) ** 2
 
     # ---- shift to "transition entering step i" and mask resets ----
-    def shift(x, fill=0.0):
-        return jnp.concatenate(
-            [jnp.full(x.shape[:-1] + (1,), fill, x.dtype), x[..., :-1]],
-            axis=-1,
-        )
+    if pre_shifted:
+        def shift(x, fill=0.0):
+            return x  # caller shifted globally (chunk of a sequence)
+    else:
+        def shift(x, fill=0.0):
+            return jnp.concatenate(
+                [jnp.full(x.shape[:-1] + (1,), fill, x.dtype),
+                 x[..., :-1]],
+                axis=-1,
+            )
 
-    prev_reset = jnp.concatenate([jnp.ones((1,), bool), reset[:-1]])
+    if prev_reset is None:
+        prev_reset = jnp.concatenate(
+            [jnp.ones((1,), bool), reset[:-1]]
+        )
     no_prop = prev_reset  # identity transition out of a reset
     Ft = (
         (jnp.where(no_prop, 1.0, shift(t00, 1.0)),
@@ -554,6 +569,145 @@ def _fused_par_core(par_mat, yd, h, dtv, resetf, validf, *, n_dim,
 
     core.defvjp(core_fwd, core_bwd)
     return core(par_mat, yd, h, dtv, resetf, validf)
+
+
+def fused_par_core_time_sharded(par_mat, par_ent, yd, h, dt_ent, dtv,
+                                resetf, prevresetf, validf,
+                                tef, tvnf, *, axis, n_dev, n_dim,
+                                p0_pos=1.0, p0_vel=10.0):
+    """Time-sharded CTCRW value+gradient on the fused-Pallas kernels.
+
+    Call INSIDE a shard_map body whose `axis` shards the step axis:
+    every per-step argument is this device's chunk; h is replicated.
+    The forward runs the fused filter on the local chunk, all-gathers
+    the 14-component chunk-total filtering elements (O(n_dev * d)
+    floats — the only communication), composes the exclusive device
+    prefix, and re-scans seeded, so the local moments and likelihood
+    terms are globally exact; returns psum(local llk). The backward is
+    the mirrored Fisher-identity pass: local reverse totals, an
+    all-gather of the 9-component smoothing totals, suffix-seeded score
+    kernels. No AD ever crosses the collectives — the RTS smoother IS
+    the adjoint of the filter, so d(global llk)/d(local params) comes
+    out of the seeded local kernels directly (SURVEY.md §2
+    "Parallelism" item 2 at single-chip kernel speed).
+
+    The forward filter builds each step's ENTERING transition from
+    par_ent / dt_ent — the GLOBALLY shifted copies of par / dt (a
+    chunk-local shift would replace the real transition crossing every
+    chunk edge with the identity); the Fisher backward builds each
+    step's LEAVING transition from the unshifted par_mat / dtv, so the
+    par cotangent lands wholly at the owning slot and par_ent carries
+    an (exact) zero cotangent — the outer shift that produced it then
+    adds nothing. prevresetf / tef / tvnf: 0/1 masks computed on the
+    FULL sequence (they look across chunk edges), sharded like the
+    other per-step arguments.
+    """
+    from smoothsde_tpu.ops.ctcrw_fused import (
+        _ID_VALS,
+        _pack_elem,
+        _unpack_elem_full,
+        fused_backward_par,
+        fused_filter,
+    )
+    from smoothsde_tpu.ops.kalman_smooth import _combine2_rev, _ID_S2
+
+    dtype = par_mat.dtype
+
+    def _system(par_ent, yd, h, dt_ent, resetf, prevresetf, validf):
+        return _ctcrw_system(
+            par_ent, None, None, None, None, p0_pos, p0_vel,
+            dt=dt_ent, yd=yd, h=h, reset=resetf > 0.5,
+            valid=validf > 0.5, pre_shifted=True,
+            prev_reset=prevresetf > 0.5,
+        )
+
+    def _idx(tree, k):
+        return jax.tree.map(lambda x: x[k], tree)
+
+    def stitch_fwd(chunk_total):
+        # chunk_total: Element2 of (d,) arrays -> exclusive prefix
+        gathered = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, axis), chunk_total
+        )  # leaves (n_dev, d)
+        my = jax.lax.axis_index(axis)
+        pref = _unpack_elem_full(
+            [jnp.full((n_dim,), v, dtype) for v in _ID_VALS]
+        )
+        for k in range(n_dev - 1):
+            cand = _combine2(pref, _idx(gathered, k))
+            pref = jax.tree.map(
+                lambda p, c: jnp.where(k < my, c, p), pref, cand
+            )
+        return pref
+
+    def stitch_bwd(chunk_total):
+        # chunk_total: Smooth2 of (d,) arrays -> exclusive suffix
+        gathered = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, axis), chunk_total
+        )
+        my = jax.lax.axis_index(axis)
+        suf = jax.tree.map(
+            lambda v: jnp.full((n_dim,), v, dtype), _ID_S2
+        )
+        for k in range(n_dev - 1, 0, -1):
+            cand = _combine2_rev(suf, _idx(gathered, k))
+            suf = jax.tree.map(
+                lambda s, c: jnp.where(my < k, c, s), suf, cand
+            )
+        return suf
+
+    @jax.custom_vjp
+    def core(par_mat, par_ent, yd, h, dt_ent, dtv, resetf, prevresetf,
+             validf, tef, tvnf):
+        sys = _system(par_ent, yd, h, dt_ent, resetf, prevresetf, validf)
+        llk = fused_filter(
+            sys, want_moments=False, stitch=stitch_fwd
+        )[0]
+        return llk
+
+    def core_fwd(par_mat, par_ent, yd, h, dt_ent, dtv, resetf,
+                 prevresetf, validf, tef, tvnf):
+        sys = _system(par_ent, yd, h, dt_ent, resetf, prevresetf, validf)
+        llk, m_f, _ = fused_filter(
+            sys, want_moments=True, tiled_moments=True, stitch=stitch_fwd
+        )
+        res = (par_mat, yd, h, dtv, resetf, prevresetf, validf,
+               tef, tvnf, m_f)
+        return llk, (res, par_ent, dt_ent)
+
+    def core_bwd(resfull, gbar):
+        res, par_ent, dt_ent = resfull
+        (par_mat, yd, h, dtv, resetf, prevresetf, validf,
+         tef, tvnf, m_f) = res
+        reset = resetf > 0.5
+        prev_reset = prevresetf > 0.5
+        update = (validf > 0.5) & (~reset)
+        mu = par_mat[:, :n_dim].T
+        lt = par_mat[:, n_dim]
+        ln = par_mat[:, n_dim + 1]
+        mubar, ltbar, lnbar, ybar, hbar = fused_backward_par(
+            yd, h, reset, prev_reset, update, p0_pos, p0_vel,
+            mu, lt, ln, dtv, m_f, gbar,
+            stitch=stitch_bwd, te=tef, tvn=tvnf,
+        )
+        par_bar = jnp.concatenate(
+            [mubar.T, ltbar[:, None], lnbar[:, None]], axis=1
+        )
+        # par_ent/dt_ent cotangents are exactly zero: the backward
+        # scores each slot's LEAVING transition from the unshifted
+        # par_mat/dtv, which already accounts for the whole dependence
+        return (
+            par_bar, jnp.zeros_like(par_ent), ybar,
+            jnp.reshape(hbar, jnp.shape(h)),
+            jnp.zeros_like(dt_ent), jnp.zeros_like(dtv),
+            jnp.zeros_like(resetf), jnp.zeros_like(prevresetf),
+            jnp.zeros_like(validf), jnp.zeros_like(tef),
+            jnp.zeros_like(tvnf),
+        )
+
+    core.defvjp(core_fwd, core_bwd)
+    return core(par_mat, par_ent, yd, h, dt_ent, dtv, resetf,
+                prevresetf, validf, tef, tvnf)
 
 
 def diag_ssm_loglik_soa(type, par_mat, obs, times, ids, sigma_obs,

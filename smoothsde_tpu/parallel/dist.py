@@ -351,6 +351,129 @@ def build_time_sharded_loglik(
     return loglik
 
 
+def _build_time_sharded_fused_ctcrw(
+    obs: np.ndarray,
+    times: np.ndarray,
+    ids: np.ndarray,
+    mesh: Mesh,
+    axis: str,
+):
+    """Time-sharded CTCRW likelihood at single-chip fused-kernel speed.
+
+    Each device runs the fused-Pallas filter (and, for the gradient,
+    the Fisher-identity smoother/score kernels) on its OWN time chunk;
+    one all-gather of the per-chunk total elements (14 floats per dim
+    forward, 9 backward) stitches the chunks exactly
+    (ops/kalman_soa.fused_par_core_time_sharded). This replaces the
+    plain-AD blocked-scan path that ran ~7x slower than the unsharded
+    fused kernel (docs/BENCH_DETAILS.md, VERDICT r2 item 1).
+
+    Host-side: pad the flat sequence to a multiple of the device count
+    with a dummy NaN track and precompute ALL step masks globally —
+    te / tvn look one step ahead, across chunk edges.
+    """
+    from smoothsde_tpu.ops.kalman_soa import (
+        fused_par_core_time_sharded,
+        precompute_dt,
+    )
+
+    n_dev = int(mesh.shape[axis])
+    n = len(ids)
+    pad = (-n) % n_dev
+
+    obs_np = np.asarray(obs, float)
+    times_np = np.asarray(times, float)
+    ids_codes = np.unique(np.asarray(ids), return_inverse=True)[1]
+    dt_np = precompute_dt(times_np, ids_codes)
+    if pad:
+        obs_np = np.concatenate(
+            [obs_np, np.full((pad, obs_np.shape[1]), np.nan)]
+        )
+        ids_codes = np.concatenate(
+            [ids_codes, np.full(pad, ids_codes.max() + 1)]
+        )
+        dt_np = np.concatenate([dt_np[:-1], [1.0], np.ones(pad)])
+    n_pad = n + pad
+    n_dim = obs_np.shape[1]
+
+    # global masks (conventions of kalman_soa._llk2_fused_par); the
+    # entering-transition inputs (par_ent / dt_ent / prev_reset) are
+    # shifted GLOBALLY before sharding — a chunk-local shift would
+    # replace the real transition crossing every chunk edge with the
+    # identity element
+    reset = np.concatenate([[True], ids_codes[1:] != ids_codes[:-1]])
+    prev_reset = np.concatenate([[True], reset[:-1]])
+    valid = np.isfinite(obs_np[:, 0])
+    te = np.concatenate([reset[1:], [True]])
+    tv = (~reset) & (~prev_reset)
+    tvn = np.concatenate([tv[1:], [False]])  # transition i -> i+1
+    dt_ent = np.concatenate([[1.0], dt_np[:-1]])
+
+    shard = NamedSharding(mesh, P(axis))
+    shard2 = NamedSharding(mesh, P(None, axis))
+    f32 = np.float32
+    yd_j = jax.device_put(
+        jnp.asarray(np.nan_to_num(obs_np).T.astype(f32)), shard2
+    )
+    dt_j = jax.device_put(jnp.asarray(dt_np.astype(f32)), shard)
+    dte_j = jax.device_put(jnp.asarray(dt_ent.astype(f32)), shard)
+    rst_j = jax.device_put(jnp.asarray(reset.astype(f32)), shard)
+    prst_j = jax.device_put(jnp.asarray(prev_reset.astype(f32)), shard)
+    vld_j = jax.device_put(jnp.asarray(valid.astype(f32)), shard)
+    te_j = jax.device_put(jnp.asarray(te.astype(f32)), shard)
+    tvn_j = jax.device_put(jnp.asarray(tvn.astype(f32)), shard)
+
+    def local(par_c, pare_c, yd_c, h, dte_c, dt_c, rst_c, prst_c,
+              vld_c, te_c, tvn_c):
+        llk_local = fused_par_core_time_sharded(
+            par_c, pare_c, yd_c, h, dte_c, dt_c, rst_c, prst_c,
+            vld_c, te_c, tvn_c,
+            axis=axis, n_dev=n_dev, n_dim=n_dim,
+        )
+        # local partial sums leave as a sharded (1,) vector and are
+        # summed OUTSIDE shard_map: a psum inside the custom_vjp would
+        # make the replicated-output cotangent convention (gbar / n_dev
+        # per shard) silently scale the hand-written backward
+        return jnp.reshape(llk_local, (1,))
+
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(axis, None), P(axis, None), P(None, axis), P(),
+            P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+            P(axis),
+        ),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+
+    def loglik(full, par_full):
+        sobs = jnp.exp(full["log_sigma_obs"][0])
+        h = (sobs * sobs).astype(par_full.dtype)
+        par_p = (
+            jnp.concatenate(
+                [
+                    par_full,
+                    jnp.broadcast_to(
+                        par_full[-1:], (pad, par_full.shape[1])
+                    ),
+                ]
+            )
+            if pad
+            else par_full
+        )
+        # entering-transition par rows (global one-step shift; slot 0's
+        # value is masked by prev_reset[0] = True)
+        par_ent = jnp.concatenate([par_p[:1], par_p[:-1]])
+        return jnp.sum(sharded(
+            par_p, par_ent, yd_j, h, dte_j, dt_j, rst_j, prst_j,
+            vld_j, te_j, tvn_j,
+        ))
+
+    return loglik
+
+
 def _build_time_sharded_soa_loglik(
     spec,
     obs: np.ndarray,
@@ -376,6 +499,7 @@ def _build_time_sharded_soa_loglik(
         diag_llk_from_filtered,
         diag_system,
     )
+    from smoothsde_tpu.ops.ctcrw_fused import _interpret
     from smoothsde_tpu.ops.kalman_soa import (
         _ID2,
         _combine2,
@@ -384,6 +508,14 @@ def _build_time_sharded_soa_loglik(
         precompute_dt,
     )
     from smoothsde_tpu.parallel.time_scan import soa_sharded_prefix_scan
+
+    if spec.type == "CTCRW" and (_mesh_on_tpu(mesh) or _interpret()):
+        # fused-Pallas local kernels + chunk-total stitching: same
+        # per-eval speed as the unsharded fused path (interpret mode
+        # lets the CPU-mesh tests drive the identical composition)
+        return _build_time_sharded_fused_ctcrw(
+            obs, times, ids, mesh, axis
+        )
 
     n_dev = int(mesh.shape[axis])
     n = len(ids)

@@ -325,6 +325,68 @@ class TestShardedLaplaceFit:
         assert abs(res.value - res2.value) < 1e-4 * (1 + abs(res2.value))
 
 
+class TestTimeShardedFusedKernels:
+    def test_ctcrw_fused_time_sharded_parity(self, monkeypatch):
+        """The time-sharded CTCRW path runs the fused-Pallas kernels
+        per chunk with all-gathered chunk-total stitching
+        (parallel/dist._build_time_sharded_fused_ctcrw). Interpret mode
+        drives the IDENTICAL composition (kernels, block prefixes,
+        device stitching, Fisher-identity backward) on the CPU mesh;
+        value and gradient must match the sequential single-device
+        filter. Covers cross-chunk track boundaries, a missing row, and
+        a step count not divisible by the device count."""
+        monkeypatch.setenv("SMOOTHSDE_PALLAS_INTERPRET", "1")
+        from jax.sharding import Mesh
+
+        from smoothsde_tpu.ops.kalman_soa import (
+            ctcrw_loglik_soa,
+            precompute_dt,
+        )
+        from smoothsde_tpu.parallel.dist import (
+            _build_time_sharded_fused_ctcrw,
+        )
+
+        rng = np.random.default_rng(3)
+        n = 700  # 700 % 8 != 0 -> dummy-track padding in play
+        times = np.cumsum(rng.uniform(0.4, 0.6, size=n))
+        obs = np.cumsum(rng.normal(size=(n, 2)) * 0.3, axis=0)
+        obs[50, :] = np.nan
+        # the track boundary at 300 falls inside device 3's chunk
+        ids = np.concatenate(
+            [np.zeros(300, np.int32), np.ones(400, np.int32)]
+        )
+        theta0 = jnp.asarray(
+            [0.1, -0.2, np.log(2.0), np.log(1.0)], jnp.float32
+        )
+        mesh = Mesh(np.array(jax.devices()), ("time",))
+        loglik = _build_time_sharded_fused_ctcrw(
+            obs, times, ids, mesh, "time"
+        )
+        full = {"log_sigma_obs": jnp.asarray([np.log(0.1)], jnp.float32)}
+
+        def f_sh(th):
+            return loglik(full, jnp.broadcast_to(th, (n, 4)))
+
+        dt = jnp.asarray(precompute_dt(times, ids), jnp.float32)
+
+        def f_ref(th):
+            return ctcrw_loglik_soa(
+                jnp.broadcast_to(th, (n, 4)),
+                jnp.asarray(obs, jnp.float32),
+                jnp.asarray(times, jnp.float32), ids,
+                sigma_obs=jnp.asarray(0.1, jnp.float32),
+                scan="sequential", dt=dt,
+            )
+
+        v_sh, g_sh = jax.jit(jax.value_and_grad(f_sh))(theta0)
+        v_rf, g_rf = jax.jit(jax.value_and_grad(f_ref))(theta0)
+        assert abs(float(v_sh) - float(v_rf)) < 1e-3 * (1 + abs(float(v_rf)))
+        rel = np.abs(np.array(g_sh) - np.array(g_rf)) / (
+            np.abs(np.array(g_rf)) + 1e-6
+        )
+        assert float(rel.max()) < 5e-4
+
+
 class TestAutoMesh:
     def test_auto_mesh_single_host(self):
         from smoothsde_tpu.parallel.batching import auto_mesh
