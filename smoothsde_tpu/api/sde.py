@@ -140,6 +140,28 @@ class SDE:
         self._coeff_re = np.zeros(p_re)
         self._lambda = np.ones(self._design.n_lambda)
         if par0 is not None:
+            if isinstance(par0, dict):
+                # dict keyed like `formulas` ({param: natural-scale
+                # value}); order-independent, every parameter required
+                missing = [p for p in param_names if p not in par0]
+                extra = [k for k in par0 if k not in param_names]
+                if missing or extra:
+                    raise ValueError(
+                        f"'par0' dict must have exactly one entry per "
+                        f"SDE parameter ({', '.join(param_names)}); "
+                        f"missing: {missing or 'none'}, "
+                        f"unknown: {extra or 'none'}"
+                    )
+                par0 = [par0[p] for p in param_names]
+            elif isinstance(par0, (str, bytes)) or not hasattr(
+                par0, "__len__"
+            ):
+                raise TypeError(
+                    f"'par0' should be a sequence of {len(param_names)} "
+                    f"natural-scale values or a dict keyed by parameter "
+                    f"name ({', '.join(param_names)}); got "
+                    f"{par0.__class__.__name__}"
+                )
             if len(par0) != len(param_names):
                 raise ValueError(
                     f"'par0' should be of length {len(param_names)} with "

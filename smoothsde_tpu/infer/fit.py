@@ -120,12 +120,18 @@ def fit_model(
 
     dt_np = np.float64 if jax.config.jax_enable_x64 else np.float32
     token = getattr(bundle, "cache_token", None)
+    # Mesh-closing objectives must not ride jax.export: the exported
+    # artifact pins the exporting device assignment and fails at call
+    # time under any other context (round-3 regression). Plain jit is
+    # still served by the persistent XLA cache.
+    allow_export = not getattr(bundle, "uses_mesh", False)
     x0_ex = np.asarray(x0, dt_np)
     b0_ex = np.asarray(b_warm, dt_np)
     val_grad = aot_cached(
         "val_grad", token,
         lambda: jax.value_and_grad(marginal, has_aux=True),
         (x0_ex, b0_ex),
+        allow_export=allow_export,
     )
     if len(x0) == 0:
         # everything is integrated out (e.g. REML with no free
@@ -187,7 +193,7 @@ def fit_model(
             else f"{token}-lbfgs{maxiter}-fd{fd_step if fuse_fd else 0}"
         )
         run = aot_cached("lbfgs_run", run_token, lambda: run_fn,
-                         (x0_ex, b0_ex))
+                         (x0_ex, b0_ex), allow_export=allow_export)
         # NumPy in, one device_get out: jitted calls transfer their
         # arguments as part of the dispatch, so no eager-op compiles
         # are paid, and fetching the whole result pytree at once costs
@@ -436,6 +442,7 @@ def _sdreport(out, bundle, packer, val_grad, fd_step, timer,
                 )
             ),
             (np.asarray(x_hat, dt_np), b_hat_j, np.asarray(hs, dt_np)),
+            allow_export=not getattr(bundle, "uses_mesh", False),
         )
 
         def _sweep(hs_v):

@@ -70,6 +70,12 @@ class ObjectiveBundle:
     # content hash over (structure, data, options): key for the AOT
     # executable cache; None disables AOT caching for this bundle
     cache_token: Optional[str] = None
+    # True when the likelihood closes over a jax.sharding.Mesh. Such
+    # computations must NOT go through the jax.export AOT layer:
+    # export pins the exporting device assignment and the replayed call
+    # is only valid under an identical device context (the round-3
+    # time-sharded-fit regression).
+    uses_mesh: bool = False
 
     def __post_init__(self):
         if self.joint_nllk_ad is None:
@@ -106,6 +112,12 @@ def _content_token(spec, design, obs, times, ids, other_data, fixpar,
         else:
             h.update(repr(o).encode())
 
+    from smoothsde_tpu.utils.cache import source_digest
+
+    # Code identity: any change to the package source (or schema bump)
+    # invalidates serialized executables — without this, a warm AOT
+    # cache would silently replay stale computations across installs.
+    h.update(source_digest().encode())
     h.update(jax.__version__.encode())
     h.update(jax.default_backend().encode())
     h.update(b"x64" if jax.config.jax_enable_x64 else b"x32")
@@ -703,4 +715,5 @@ def build_objective(
         hess_plan=hess_plan,
         kind=spec.kind,
         cache_token=cache_token,
+        uses_mesh=mesh is not None,
     )

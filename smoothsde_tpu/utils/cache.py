@@ -21,6 +21,47 @@ import os
 
 _done = False
 
+# Bump on any change to the objective/kernel math that a source-digest
+# miss could fail to capture (e.g. a change routed through data files).
+# Part of the cache token's code identity.
+CACHE_SCHEMA_VERSION = 1
+
+_src_digest: str | None = None
+
+
+def source_digest() -> str:
+    """Digest of the installed smoothsde_tpu source (plus the schema
+    version): the code-identity component of the AOT cache token.
+
+    Without it, any change to the objective/Laplace/kernel math between
+    installs would silently replay the OLD serialized computation for
+    matching (model, data) keys — TMB's equivalent is recompiling
+    whenever the C++ template changes (src/Makefile semantics).
+    Computed once per process (~500 KB of source, <10 ms).
+    """
+    global _src_digest
+    if _src_digest is None:
+        import hashlib
+
+        import smoothsde_tpu
+
+        root = os.path.dirname(os.path.abspath(smoothsde_tpu.__file__))
+        h = hashlib.sha256()
+        h.update(f"schema={CACHE_SCHEMA_VERSION}".encode())
+        h.update(getattr(smoothsde_tpu, "__version__", "0").encode())
+        for dirpath, dirnames, filenames in sorted(os.walk(root)):
+            dirnames.sort()
+            if "__pycache__" in dirpath:
+                continue
+            for fn in sorted(filenames):
+                if fn.endswith((".py", ".so")):
+                    p = os.path.join(dirpath, fn)
+                    h.update(os.path.relpath(p, root).encode())
+                    with open(p, "rb") as f:
+                        h.update(f.read())
+        _src_digest = h.hexdigest()[:16]
+    return _src_digest
+
 
 def enable_compilation_cache(
     cache_dir: str | None = None,
@@ -64,7 +105,45 @@ def _aot_dir() -> str | None:
     return d
 
 
-def aot_cached(name: str, token: str | None, make_fn, example_args):
+def guard_first_call(exp_fn, path: str, make_fn, fallback=None):
+    """Wrap an export-backed callable so a failure at CALL time falls
+    back to plain jit and deletes the on-disk blob.
+
+    jax.export records the device assignment of the exporting context;
+    a mesh-closing computation exported "for 8 devices" raises only
+    when exp.call is invoked under a different device context — outside
+    any try/except that guards export itself. Worse, the blob was
+    already persisted, so every later process with the same token would
+    inherit the failure. This guard makes the failure self-healing:
+    first failing call removes the blob and transparently re-runs via
+    jax.jit(make_fn()).
+    """
+    state: dict = {}
+
+    def call(*args):
+        if "fn" in state:
+            return state["fn"](*args)
+        try:
+            out = exp_fn(*args)
+        except Exception:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+            import jax
+
+            state["fn"] = (
+                fallback if fallback is not None else jax.jit(make_fn())
+            )
+            return state["fn"](*args)
+        state["fn"] = exp_fn
+        return out
+
+    return call
+
+
+def aot_cached(name: str, token: str | None, make_fn, example_args,
+               allow_export: bool = True):
     """Executable cache over Python tracing, not just XLA compilation.
 
     The persistent XLA cache (above) removes backend compile time, but
@@ -76,15 +155,23 @@ def aot_cached(name: str, token: str | None, make_fn, example_args):
     compile that the persistent cache then serves.
 
     `token` must capture everything the trace closes over — model
-    structure, DATA (embedded as constants), options — see
-    ObjectiveBundle.cache_token. Returns a jitted callable; falls back
-    to plain jax.jit(make_fn()) when caching is off, the artifact
-    can't be built (export limitations), or the blob is stale.
+    structure, DATA (embedded as constants), options, and the package
+    source digest (code identity) — see ObjectiveBundle.cache_token.
+    Returns a jitted callable; falls back to plain jax.jit(make_fn())
+    when caching is off, the artifact can't be built (export
+    limitations), the blob is stale, or the deserialized executable
+    fails on first call (guard_first_call).
+
+    `allow_export=False` skips the export layer entirely (plain jit,
+    still served by the persistent XLA cache). Mesh-closing
+    computations MUST pass False: jax.export pins the exporting device
+    assignment and the replayed call is only valid under an identical
+    device context — the round-3 time-sharded-fit regression.
     """
     import jax
 
     d = _aot_dir()
-    if d is None or token is None:
+    if d is None or token is None or not allow_export:
         return jax.jit(make_fn())
     from jax import export as jexport
 
@@ -93,7 +180,7 @@ def aot_cached(name: str, token: str | None, make_fn, example_args):
         try:
             with open(path, "rb") as f:
                 exp = jexport.deserialize(bytearray(f.read()))
-            return jax.jit(exp.call)
+            return guard_first_call(jax.jit(exp.call), path, make_fn)
         except Exception:
             try:
                 os.remove(path)  # stale/corrupt blob: rebuild below
@@ -109,8 +196,11 @@ def aot_cached(name: str, token: str | None, make_fn, example_args):
         os.replace(tmp, path)
         # return the export-backed callable so THIS process compiles the
         # same wrapped module later processes will load (its XLA compile
-        # lands in the persistent cache for them)
-        return jax.jit(exp.call)
+        # lands in the persistent cache for them); guarded so a call-time
+        # failure un-persists the blob instead of poisoning every later
+        # process with the same token
+        return guard_first_call(jax.jit(exp.call), path, make_fn,
+                                fallback=fn)
     except Exception:
         return fn
 

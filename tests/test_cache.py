@@ -1,12 +1,19 @@
-"""Persistent compilation cache wiring (utils/cache.py)."""
+"""Persistent compilation cache wiring (utils/cache.py) and the AOT
+executable layer (aot_cached / guard_first_call / source_digest)."""
 
 import os
+import subprocess
+import sys
 
 import jax
+import numpy as np
 
 from smoothsde_tpu.utils.cache import (
+    aot_cached,
     enable_compilation_cache,
+    guard_first_call,
     maybe_enable_default_cache,
+    source_digest,
 )
 
 
@@ -53,3 +60,166 @@ def test_exported_from_package():
     import smoothsde_tpu
 
     assert smoothsde_tpu.enable_compilation_cache is enable_compilation_cache
+
+
+# ---------------------------------------------------------------------
+# AOT executable cache (aot_cached): round-trip, staleness, guards.
+# VERDICT r3 weaknesses 1-2: zero tests existed for this layer while it
+# shipped a default-on regression.
+# ---------------------------------------------------------------------
+
+
+def _aot_env(tmp_path, monkeypatch):
+    monkeypatch.delenv("SMOOTHSDE_NO_COMPILE_CACHE", raising=False)
+    monkeypatch.setenv("SMOOTHSDE_CACHE_DIR", str(tmp_path))
+    return os.path.join(str(tmp_path), "aot")
+
+
+def test_aot_round_trip_same_process(tmp_path, monkeypatch):
+    d = _aot_env(tmp_path, monkeypatch)
+    x = np.arange(4.0)
+
+    f1 = aot_cached("rt", "tok1", lambda: (lambda a: a * 2.0 + 1.0), (x,))
+    got = np.asarray(f1(x))
+    np.testing.assert_allclose(got, x * 2 + 1)
+    blobs = [p for p in os.listdir(d) if p.endswith(".jaxexp")]
+    assert blobs == ["rt-tok1.jaxexp"]
+
+    # second construction with the same token must serve the blob: a
+    # make_fn that raises proves the deserialized export did the work
+    def poisoned():
+        raise AssertionError("make_fn must not be traced on a warm hit")
+
+    f2 = aot_cached("rt", "tok1", poisoned, (x,))
+    np.testing.assert_allclose(np.asarray(f2(x)), x * 2 + 1)
+
+
+def test_aot_disabled_paths_write_nothing(tmp_path, monkeypatch):
+    d = _aot_env(tmp_path, monkeypatch)
+    x = np.arange(3.0)
+    # token=None disables; allow_export=False (mesh-closing) disables
+    for kwargs in ({"token": None}, {"token": "t", "allow_export": False}):
+        f = aot_cached(
+            "off", kwargs.get("token"), lambda: (lambda a: a + 1.0), (x,),
+            allow_export=kwargs.get("allow_export", True),
+        )
+        np.testing.assert_allclose(np.asarray(f(x)), x + 1)
+    assert [p for p in os.listdir(d) if p.endswith(".jaxexp")] == []
+
+
+def test_aot_corrupt_blob_falls_back_and_rebuilds(tmp_path, monkeypatch):
+    d = _aot_env(tmp_path, monkeypatch)
+    path = os.path.join(d, "cb-tok.jaxexp")
+    os.makedirs(d, exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(b"not a serialized export")
+    x = np.arange(4.0)
+    fn = aot_cached("cb", "tok", lambda: (lambda a: a - 3.0), (x,))
+    np.testing.assert_allclose(np.asarray(fn(x)), x - 3)
+    # the corrupt blob was replaced by a fresh valid one
+    with open(path, "rb") as f:
+        assert f.read() != b"not a serialized export"
+
+
+def test_guard_first_call_deletes_blob_and_falls_back(tmp_path):
+    """A deserialized executable that raises at CALL time (the round-3
+    device-context mismatch) must delete the blob and re-run via
+    make_fn — and later calls must stay on the fallback."""
+    blob = tmp_path / "poisoned.jaxexp"
+    blob.write_bytes(b"blob")
+    calls = {"exp": 0, "make": 0}
+
+    def exp_fn(a):
+        calls["exp"] += 1
+        raise ValueError("exported for 8 devices, called with 1")
+
+    def make_fn():
+        calls["make"] += 1
+        return lambda a: a * 10.0
+
+    g = guard_first_call(exp_fn, str(blob), make_fn)
+    x = np.arange(3.0)
+    np.testing.assert_allclose(np.asarray(g(x)), x * 10)
+    assert not blob.exists(), "poisoned blob must be un-persisted"
+    np.testing.assert_allclose(np.asarray(g(x)), x * 10)
+    assert calls == {"exp": 1, "make": 1}, "fallback must be committed"
+
+
+def test_guard_first_call_commits_on_success(tmp_path):
+    blob = tmp_path / "good.jaxexp"
+    blob.write_bytes(b"blob")
+    g = guard_first_call(
+        lambda a: a + 5.0, str(blob),
+        lambda: (_ for _ in ()).throw(AssertionError("unused")),
+    )
+    x = np.arange(3.0)
+    np.testing.assert_allclose(np.asarray(g(x)), x + 5)
+    np.testing.assert_allclose(np.asarray(g(x)), x + 5)
+    assert blob.exists()
+
+
+def test_source_digest_is_code_identity(monkeypatch):
+    """The objective cache token must change when the package source
+    changes (VERDICT r3 weakness 2: stale executables silently replayed
+    across code changes)."""
+    import smoothsde_tpu.utils.cache as cache
+    from smoothsde_tpu.formula.design import build_design
+    from smoothsde_tpu.infer.objective import _content_token
+    from smoothsde_tpu.models.registry import get_model_spec
+
+    d1 = source_digest()
+    assert len(d1) == 16 and d1 == source_digest()  # stable per process
+
+    n = 32
+    rng = np.random.default_rng(0)
+    obs = np.cumsum(rng.normal(size=(n, 1)), axis=0)
+    times = np.cumsum(rng.uniform(0.5, 1.0, n))
+    ids = np.zeros(n, int)
+    spec = get_model_spec("BM")
+    design = build_design(
+        {"mu": "~1", "sigma": "~1"}, {"ID": ids, "time": times}
+    )
+
+    def tok():
+        return _content_token(
+            spec, design, obs, times, ids, {}, [], {}, {}, "auto",
+            None, "tracks", False,
+        )
+
+    t1 = tok()
+    assert t1 == tok()  # deterministic
+    monkeypatch.setattr(cache, "_src_digest", "ff" * 8)
+    t2 = tok()
+    assert t1 != t2, "token must change with the source digest"
+
+
+def test_aot_round_trip_across_subprocess(tmp_path, monkeypatch):
+    """A second PROCESS with the same token must load the serialized
+    export (no re-trace). The child's make_fn raises if traced."""
+    _aot_env(tmp_path, monkeypatch)
+    x = np.arange(4.0)
+    f = aot_cached("sub", "tokS", lambda: (lambda a: a * 3.0), (x,))
+    np.testing.assert_allclose(np.asarray(f(x)), x * 3)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import sys, numpy as np; sys.path.insert(0, {repo!r})\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_enable_x64', True)\n"
+        "from smoothsde_tpu.utils.cache import aot_cached\n"
+        "def poisoned():\n"
+        "    raise AssertionError('child must not re-trace')\n"
+        "x = np.arange(4.0)\n"
+        "f = aot_cached('sub', 'tokS', poisoned, (x,))\n"
+        "np.testing.assert_allclose(np.asarray(f(x)), x * 3.0)\n"
+        "print('child-ok')\n"
+    ).format(repo=repo)
+    env = dict(os.environ)
+    env["SMOOTHSDE_CACHE_DIR"] = str(tmp_path)
+    env.pop("SMOOTHSDE_NO_COMPILE_CACHE", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True,
+        text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "child-ok" in proc.stdout
