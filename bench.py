@@ -30,6 +30,11 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    # AOT executable layer on top (utils/cache.py): a warm bench run
+    # skips Python tracing / StableHLO lowering of the Pallas graphs
+    # too, not just the XLA compile — this was the bulk of the round-3
+    # 30 s cold start. Blobs live next to the XLA cache in the repo.
+    os.environ.setdefault("SMOOTHSDE_CACHE_DIR", cache_dir)
 
     backend = jax.default_backend()
     dtype = jnp.float32
@@ -57,7 +62,15 @@ def main():
             scan="fused", analytic_grad=True, dt=dt_j,
         )
 
-    fn = jax.jit(jax.value_and_grad(nllk))
+    from smoothsde_tpu.utils.cache import aot_cached, source_digest
+
+    token = (
+        f"n{N_STEPS}-{backend}-{jax.__version__}-{source_digest()}"
+    )
+    fn = aot_cached(
+        "bench_val_grad", token,
+        lambda: jax.value_and_grad(nllk), (theta0,),
+    )
 
     # compile + first call (reported as cold_ms alongside the headline:
     # the steady-state number below is a best-of-rounds measurement and

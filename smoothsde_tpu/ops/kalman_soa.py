@@ -25,6 +25,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 # ---- 2x2 tuple algebra (components are arrays, elementwise ops) ----
@@ -519,7 +520,105 @@ def _fused_par_core(par_mat, yd, h, dtv, resetf, validf, *, n_dim,
     filter. Every traced value is an EXPLICIT primal argument (masks as
     0/1 floats): a custom_vjp that closes over tracers leaks them when
     traced inside shard_map (the sharded fast path,
-    parallel/dist._build_sharded_soa_loglik)."""
+    parallel/dist._build_sharded_soa_loglik).
+
+    Single-pass par-space forward: the forward kernels rebuild each
+    step's entering transition in-register from the shared 10-row par
+    stack (ctcrw_fused.fused_filter_par) instead of materializing the
+    XLA-built element arrays, and the SAME stack is saved as the VJP
+    residual and fed straight to fused_backward_par(tiles=...) — one
+    _stack_tiles pass serves both directions, and the element-build
+    pass disappears from the HBM budget entirely.
+    SMOOTHSDE_ELEM_FORWARD=1 restores the element-space forward."""
+    import os
+
+    from smoothsde_tpu.ops.ctcrw_fused import (
+        build_par_stack,
+        fused_backward_par,
+        fused_filter,
+        fused_filter_par,
+    )
+
+    d = n_dim
+    n = par_mat.shape[0]
+    dtype = par_mat.dtype
+    # tile geometry — must equal fused_backward_par's internal formula
+    # so the shared stack lines up (ctcrw_fused.py fused_backward_par)
+    base = 1024 // int(np.gcd(d, 1024))
+    NB = base
+    while NB * 2 <= min(2048, max(n, base)):
+        NB *= 2
+    L = -(-n // NB)
+    L_pad = -(-L // 16) * 16
+    MID = (d * NB) // 128
+    geom = dict(d=d, n=n, NB=NB, L=L, L_pad=L_pad, MID=MID, dtype=dtype)
+
+    if os.environ.get("SMOOTHSDE_ELEM_FORWARD"):
+        return _fused_par_core_elem(
+            par_mat, yd, h, dtv, resetf, validf, n_dim=n_dim,
+            p0_pos=p0_pos, p0_vel=p0_vel,
+        )
+
+    def _stack(par_mat, yd, dtv, resetf, validf):
+        mu = par_mat[:, :d].T  # (d, n)
+        lt = par_mat[:, d]
+        ln = par_mat[:, d + 1]
+        prevf = jnp.concatenate([jnp.ones((1,), dtype), resetf[:-1]])
+        updf = validf * (1.0 - resetf)
+        te = jnp.concatenate([resetf[1:], jnp.ones((1,), dtype)])
+        tv = (1.0 - resetf) * (1.0 - prevf)
+        tvn = jnp.concatenate([tv[1:], jnp.zeros((1,), dtype)])
+        return build_par_stack(
+            mu, lt, ln, dtv, te, tvn, yd, updf, resetf, **geom
+        )
+
+    @jax.custom_vjp
+    def core(par_mat, yd, h, dtv, resetf, validf):
+        tiles, bd = _stack(par_mat, yd, dtv, resetf, validf)
+        return fused_filter_par(
+            tiles, bd, h, **geom, p0_pos=p0_pos, p0_vel=p0_vel,
+            want_moments=False,
+        )[0]
+
+    def core_fwd(par_mat, yd, h, dtv, resetf, validf):
+        tiles, bd = _stack(par_mat, yd, dtv, resetf, validf)
+        llk, m_f, _ = fused_filter_par(
+            tiles, bd, h, **geom, p0_pos=p0_pos, p0_vel=p0_vel,
+            want_moments=True, tiled_moments=True,
+        )
+        # residuals: the SHARED stack + tiled moments + h; everything
+        # the backward reads is already in tile layout (no par_mat / yd
+        # / mask arrays retained — ADVICE r3 item 4 pattern)
+        return llk, (tiles, m_f, h)
+
+    def core_bwd(res, gbar):
+        tiles, m_f, h = res
+        yd_sds = jax.ShapeDtypeStruct((d, n), dtype)
+        # tiles= branch: yd supplies only shape/dtype; the mask/par
+        # arguments are unused (rows come from the shared stack)
+        mubar, ltbar, lnbar, ybar, hbar = fused_backward_par(
+            yd_sds, h, None, None, None, p0_pos, p0_vel,
+            None, None, None, None, m_f, gbar, tiles=tiles,
+        )
+        par_bar = jnp.concatenate(
+            [mubar.T, ltbar[:, None], lnbar[:, None]], axis=1
+        )
+        z = jnp.zeros((n,), dtype)
+        # dt and the masks are data, not parameters: zero cotangents
+        return (
+            par_bar, ybar, jnp.reshape(hbar, jnp.shape(h)), z, z, z,
+        )
+
+    core.defvjp(core_fwd, core_bwd)
+    return core(par_mat, yd, h, dtv, resetf, validf)
+
+
+def _fused_par_core_elem(par_mat, yd, h, dtv, resetf, validf, *, n_dim,
+                         p0_pos, p0_vel):
+    """Element-space forward variant of _fused_par_core (the XLA
+    element build feeding fused_filter); kept as the
+    SMOOTHSDE_ELEM_FORWARD=1 fallback and as the parity oracle for the
+    par-space forward kernels."""
     from smoothsde_tpu.ops.ctcrw_fused import (
         fused_backward_par,
         fused_filter,
@@ -671,12 +770,15 @@ def fused_par_core_time_sharded(par_mat, par_ent, yd, h, dt_ent, dtv,
         llk, m_f, _ = fused_filter(
             sys, want_moments=True, tiled_moments=True, stitch=stitch_fwd
         )
+        # par_ent / dt_ent get exact-zero cotangents shaped like
+        # par_mat / dtv (see core_bwd): nothing of them is saved, so
+        # the buffers die after the forward instead of being kept
+        # alive through the backward for zeros_like (ADVICE r3 #4)
         res = (par_mat, yd, h, dtv, resetf, prevresetf, validf,
                tef, tvnf, m_f)
-        return llk, (res, par_ent, dt_ent)
+        return llk, res
 
-    def core_bwd(resfull, gbar):
-        res, par_ent, dt_ent = resfull
+    def core_bwd(res, gbar):
         (par_mat, yd, h, dtv, resetf, prevresetf, validf,
          tef, tvnf, m_f) = res
         reset = resetf > 0.5
@@ -697,9 +799,11 @@ def fused_par_core_time_sharded(par_mat, par_ent, yd, h, dt_ent, dtv,
         # scores each slot's LEAVING transition from the unshifted
         # par_mat/dtv, which already accounts for the whole dependence
         return (
-            par_bar, jnp.zeros_like(par_ent), ybar,
+            par_bar,
+            jnp.zeros_like(par_mat), ybar,  # par_ent: same shape/dtype
             jnp.reshape(hbar, jnp.shape(h)),
-            jnp.zeros_like(dt_ent), jnp.zeros_like(dtv),
+            jnp.zeros_like(dtv),  # dt_ent: same shape/dtype as dtv
+            jnp.zeros_like(dtv),
             jnp.zeros_like(resetf), jnp.zeros_like(prevresetf),
             jnp.zeros_like(validf), jnp.zeros_like(tef),
             jnp.zeros_like(tvnf),

@@ -51,6 +51,7 @@ CASES = [
 ]
 
 
+@pytest.mark.slow
 class TestShardedObjectiveParity:
     @pytest.mark.parametrize("typ,resp,formulas,par0", CASES)
     def test_value_and_grad_match_flat(self, typ, resp, formulas, par0):
@@ -180,6 +181,7 @@ def _eseal_multitrack(seed=5, K=3, Lk=50):
     return data, other
 
 
+@pytest.mark.slow
 class TestShardedVariants:
     """Sharded coverage for the cases the generic fallback handles:
     ESEAL_SSM (extra scalar parameters, IG priors) and per-observation
@@ -250,6 +252,7 @@ class TestShardedVariants:
         self._parity(b_flat, b_sh)
 
 
+@pytest.mark.slow
 class TestShardedLaplaceFit:
     """End-to-end sharded RANDOM-EFFECTS fits (inner Newton + lambda
     estimation through shard_map collectives) — VERDICT r2 item 4; the
@@ -326,6 +329,7 @@ class TestShardedLaplaceFit:
 
 
 class TestTimeShardedFusedKernels:
+    @pytest.mark.slow
     def test_ctcrw_fused_time_sharded_parity(self, monkeypatch):
         """The time-sharded CTCRW path runs the fused-Pallas kernels
         per chunk with all-gathered chunk-total stitching
@@ -333,8 +337,10 @@ class TestTimeShardedFusedKernels:
         drives the IDENTICAL composition (kernels, block prefixes,
         device stitching, Fisher-identity backward) on the CPU mesh;
         value and gradient must match the sequential single-device
-        filter. Covers cross-chunk track boundaries, a missing row, and
-        a step count not divisible by the device count."""
+        filter. Covers cross-chunk track boundaries, a missing row, a
+        RESET landing exactly on a chunk edge (slot 264 = 3 * 88, the
+        first slot of device 3's 88-step chunk), and a step count not
+        divisible by the device count."""
         monkeypatch.setenv("SMOOTHSDE_PALLAS_INTERPRET", "1")
         from jax.sharding import Mesh
 
@@ -346,14 +352,24 @@ class TestTimeShardedFusedKernels:
             _build_time_sharded_fused_ctcrw,
         )
 
+        # the multi-chunk stitching degenerates untested on one device:
+        # this test's value is the 8-way device composition (conftest
+        # forces 8 virtual CPU devices — ADVICE r3 #3)
+        assert len(jax.devices()) > 1, (
+            "run under conftest's 8-device virtual mesh"
+        )
+
         rng = np.random.default_rng(3)
         n = 700  # 700 % 8 != 0 -> dummy-track padding in play
         times = np.cumsum(rng.uniform(0.4, 0.6, size=n))
         obs = np.cumsum(rng.normal(size=(n, 2)) * 0.3, axis=0)
         obs[50, :] = np.nan
-        # the track boundary at 300 falls inside device 3's chunk
+        # padded n = 704 -> 88 steps/device; boundary at 300 falls
+        # INSIDE device 3's chunk, boundary at 264 lands EXACTLY ON the
+        # chunk edge (a reset as a chunk's first slot)
         ids = np.concatenate(
-            [np.zeros(300, np.int32), np.ones(400, np.int32)]
+            [np.zeros(264, np.int32), np.full(36, 1, np.int32),
+             np.full(400, 2, np.int32)]
         )
         theta0 = jnp.asarray(
             [0.1, -0.2, np.log(2.0), np.log(1.0)], jnp.float32
@@ -385,6 +401,74 @@ class TestTimeShardedFusedKernels:
             np.abs(np.array(g_rf)) + 1e-6
         )
         assert float(rel.max()) < 5e-4
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("typ", ["BM_SSM", "OU_SSM"])
+    def test_diag_fused_time_sharded_parity(self, typ, monkeypatch):
+        """The scalar-state (diag) family's fused time-sharded path
+        (parallel/dist._build_time_sharded_fused_diag — VERDICT r3
+        item 3 lifted the CTCRW-only gate) vs the sequential
+        single-device filter: value and gradient. Same geometry as the
+        CTCRW case: cross-chunk boundary, a reset ON a chunk edge, a
+        NaN row, n not divisible by the device count."""
+        monkeypatch.setenv("SMOOTHSDE_PALLAS_INTERPRET", "1")
+        from jax.sharding import Mesh
+
+        from smoothsde_tpu.models.registry import get_model_spec
+        from smoothsde_tpu.ops.kalman_soa import (
+            diag_ssm_loglik_soa,
+            precompute_dt,
+        )
+        from smoothsde_tpu.parallel.dist import (
+            _build_time_sharded_fused_diag,
+        )
+
+        assert len(jax.devices()) > 1
+
+        rng = np.random.default_rng(4)
+        n = 700
+        times = np.cumsum(rng.uniform(0.4, 0.6, size=n))
+        obs = np.cumsum(rng.normal(size=(n, 2)) * 0.3, axis=0)
+        obs[50, :] = np.nan
+        ids = np.concatenate(
+            [np.zeros(264, np.int32), np.full(36, 1, np.int32),
+             np.full(400, 2, np.int32)]
+        )
+        if typ == "BM_SSM":
+            theta0 = jnp.asarray([0.1, -0.2, np.log(0.8)], jnp.float32)
+        else:
+            theta0 = jnp.asarray(
+                [0.1, -0.2, np.log(2.0), np.log(0.6)], jnp.float32
+            )
+        n_par = theta0.shape[0]
+        spec = get_model_spec(typ, n_dim=2)
+        mesh = Mesh(np.array(jax.devices()), ("time",))
+        loglik = _build_time_sharded_fused_diag(
+            spec, obs, times, ids, mesh, "time"
+        )
+        full = {"log_sigma_obs": jnp.asarray([np.log(0.1)], jnp.float32)}
+
+        def f_sh(th):
+            return loglik(full, jnp.broadcast_to(th, (n, n_par)))
+
+        dt = jnp.asarray(precompute_dt(times, ids), jnp.float32)
+
+        def f_ref(th):
+            return diag_ssm_loglik_soa(
+                typ, jnp.broadcast_to(th, (n, n_par)),
+                jnp.asarray(obs, jnp.float32),
+                jnp.asarray(times, jnp.float32), ids,
+                sigma_obs=jnp.asarray(0.1, jnp.float32),
+                scan="sequential", dt=dt,
+            )
+
+        v_sh, g_sh = jax.jit(jax.value_and_grad(f_sh))(theta0)
+        v_rf, g_rf = jax.jit(jax.value_and_grad(f_ref))(theta0)
+        assert abs(float(v_sh) - float(v_rf)) < 1e-3 * (1 + abs(float(v_rf)))
+        rel = np.abs(np.array(g_sh) - np.array(g_rf)) / (
+            np.abs(np.array(g_rf)) + 1e-6
+        )
+        assert float(rel.max()) < 5e-4, (typ, g_sh, g_rf)
 
 
 class TestAutoMesh:
