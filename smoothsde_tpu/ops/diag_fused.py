@@ -224,6 +224,384 @@ def diag_llk_from_filtered(sysd: DiagSystem, bf, Cf):
     )
 
 
+def _diag_fwd(t, q, c, yd, h, resetf, updatef, p0, stitch=None):
+    """Fused diag forward: (llk, tiled moments).
+
+    stitch: optional callable mapping this call's chunk-total filtering
+    element (5-tuple of (d,) arrays) to the exclusive device-PREFIX
+    element — the time-sharded composition hook, mirroring
+    ctcrw_fused.fused_filter's stitch."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d, n = yd.shape
+    dtype = yd.dtype
+    NB, L, L_CH, L_pad, lanes, MID, n_lc = _plan(d, n)
+    raw = [t, q, c, yd, resetf, updatef]
+    pad_vals = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    tiles = _stack_tiles(raw, pad_vals, d, n, NB, L, L_pad, MID, dtype)
+    h_arr = jnp.asarray(h, dtype).reshape(1, 1)
+    grid = (MID // 8, n_lc)
+    in_spec = pl.BlockSpec(
+        (L_CH, 6, 8, 128), lambda m, lc: (lc, 0, m, 0),
+        memory_space=pltpu.VMEM,
+    )
+    mom_spec = pl.BlockSpec(
+        (L_CH, 2, 8, 128), lambda m, lc: (lc, 0, m, 0),
+        memory_space=pltpu.VMEM,
+    )
+    tot_spec = pl.BlockSpec(
+        (8, 128), lambda m, lc: (m, 0), memory_space=pltpu.VMEM
+    )
+    h_spec = pl.BlockSpec(
+        (1, 1), lambda m, lc: (0, 0), memory_space=pltpu.SMEM
+    )
+
+    def totals_kernel(h_ref, in_ref, *refs):
+        ins = _Tiles1(*(_Row(in_ref, i) for i in range(6)))
+        outs = refs[:5]
+        car = refs[5:]
+        lc = pl.program_id(1)
+        hh = h_ref[0, 0]
+
+        @pl.when(lc == 0)
+        def _():
+            for i in range(5):
+                car[i][...] = jnp.full((8, 128), _ID1[i], dtype)
+
+        cur = tuple(r[...] for r in car)
+        for l in range(L_CH):
+            cur = _comb1(cur, _elem1(ins, hh, p0, l))
+        for i in range(5):
+            car[i][...] = cur[i]
+
+        @pl.when(lc == n_lc - 1)
+        def _():
+            for i in range(5):
+                outs[i][...] = car[i][...]
+
+    totals = pl.pallas_call(
+        totals_kernel,
+        grid=grid,
+        in_specs=[h_spec, in_spec],
+        out_specs=[tot_spec] * 5,
+        out_shape=[jax.ShapeDtypeStruct((MID, 128), dtype)] * 5,
+        scratch_shapes=[pltpu.VMEM((8, 128), dtype)] * 5,
+        interpret=_interpret(),
+    )(h_arr, tiles)
+
+    RPD = NB // 128
+    if NB % 128 == 0 and RPD & (RPD - 1) == 0:
+        # single-launch cross-block scan (the XLA associative_scan
+        # unrolls into thousands of tiny HLOs; ctcrw_fused)
+        from smoothsde_tpu.ops.ctcrw_fused import _block_prefix_pallas
+
+        excl_tiles = _block_prefix_pallas(
+            list(totals), list(_ID1), tuple, list, _comb1,
+            NB, MID, dtype, reverse=False, interpret=_interpret(),
+        )
+    else:
+        tot_dnb = tuple(
+            x.reshape(lanes).reshape(d, NB) for x in totals
+        )
+        incl = jax.lax.associative_scan(_comb1, tot_dnb, axis=-1)
+        excl = [
+            jnp.concatenate(
+                [jnp.full((d, 1), _ID1[i], dtype), x[:, :-1]], axis=1
+            )
+            for i, x in enumerate(incl)
+        ]
+        excl_tiles = [
+            x.reshape(lanes).reshape(MID, 128) for x in excl
+        ]
+
+    if stitch is not None:
+        # chunk-total element per dim = excl-at-last-block composed
+        # with that block's total; seed every block's prefix with the
+        # device prefix returned by stitch
+        last_idx = (np.arange(d) + 1) * NB - 1
+        excl_last = tuple(x.reshape(lanes)[last_idx] for x in excl_tiles)
+        tot_last = tuple(x.reshape(lanes)[last_idx] for x in totals)
+        chunk_total = _comb1(excl_last, tot_last)
+        seed = stitch(chunk_total)
+        lane_dim = np.arange(lanes) // NB
+
+        def _expand(cv):
+            return jnp.take(cv, lane_dim, axis=0).reshape(MID, 128)
+
+        seed_e = tuple(_expand(cv) for cv in seed)
+        excl_tiles = list(_comb1(seed_e, tuple(excl_tiles)))
+
+    def scan_kernel(h_ref, in_ref, *refs):
+        ins = _Tiles1(*(_Row(in_ref, i) for i in range(6)))
+        pref = refs[:5]
+        mom_out, llk_out = refs[5], refs[6]
+        car = refs[7:12]
+        lacc = refs[12]
+        lc = pl.program_id(1)
+        hh = h_ref[0, 0]
+
+        @pl.when(lc == 0)
+        def _():
+            for i in range(5):
+                car[i][...] = pref[i][...]
+            lacc[...] = jnp.zeros((8, 128), dtype)
+
+        cur = tuple(r[...] for r in car)
+        acc = lacc[...]
+        for l in range(L_CH):
+            a_pred = ins.t[l] * cur[1] + ins.c[l]
+            Pp = ins.t[l] * ins.t[l] * cur[2] + ins.q[l]
+            F = Pp + hh
+            u = ins.y[l] - a_pred
+            acc = acc + ins.upd[l] * (-0.5) * (jnp.log(F) + u * u / F)
+            cur = _comb1(cur, _elem1(ins, hh, p0, l))
+            mom_out[l, 0] = cur[1]
+            mom_out[l, 1] = cur[2]
+        for i in range(5):
+            car[i][...] = cur[i]
+        lacc[...] = acc
+
+        @pl.when(lc == n_lc - 1)
+        def _():
+            llk_out[...] = lacc[...]
+
+    outs = pl.pallas_call(
+        scan_kernel,
+        grid=grid,
+        in_specs=[h_spec, in_spec] + [tot_spec] * 5,
+        out_specs=[mom_spec, tot_spec],
+        out_shape=(
+            jax.ShapeDtypeStruct((L_pad, 2, MID, 128), dtype),
+            jax.ShapeDtypeStruct((MID, 128), dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((8, 128), dtype)] * 6,
+        interpret=_interpret(),
+    )(h_arr, tiles, *excl_tiles)
+    # moments stay in the kernel's stacked tile layout — they are
+    # only ever consumed by the backward (rows: m_f, P_f); padded
+    # slots hold real pos-def filter states, which form identity
+    # smoothing elements under t = 1 / q = 0 / te = 0 (see
+    # smooth_elem: G = 1, g = 0, L = 0)
+    return jnp.sum(outs[1]), outs[0]
+
+
+def _diag_bwd(tn, qn, cn, te, tvn, yd, resetf, updatef, h, mom, p0,
+              stitch=None):
+    """Fused diag smoother + Fisher score over LEAVING-transition rows.
+
+    tn / qn / cn hold the transition LEAVING slot i at row i (the
+    sb-shifts of the entering arrays for a whole sequence; globally
+    shifted copies for a time chunk — a local shift would lose the
+    cross-chunk transition). Returns per-slot cotangents in the SAME
+    leaving indexing: (c_t, c_q, c_c, c_y, hbar_sum) — callers apply
+    gbar and any indexing shift.
+
+    stitch: optional chunk-total (3-tuple of (d,)) -> exclusive device
+    SUFFIX hook (time sharding)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d, n = yd.shape
+    dtype = yd.dtype
+    NB, L, L_CH, L_pad, lanes, MID, n_lc = _plan(d, n)
+
+    raw = [tn, qn, cn, te, tvn, yd, updatef, resetf]
+    # identity smoothing elements in padding: q = 0, t = 1, te = 0
+    # -> G = 1, g = 0, L = 0 (the moment rows carry real pos-def
+    # filter states in their padded slots, see _diag_fwd)
+    pad_vals = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    tiles = _stack_tiles(raw, pad_vals, d, n, NB, L, L_pad, MID, dtype)
+    h_arr = jnp.asarray(h, dtype).reshape(1, 1)
+    grid = (MID // 8, n_lc)
+    rev_spec = pl.BlockSpec(
+        (L_CH, 8, 8, 128), lambda m, lc: (n_lc - 1 - lc, 0, m, 0),
+        memory_space=pltpu.VMEM,
+    )
+    mf_spec = pl.BlockSpec(
+        (L_CH, 2, 8, 128), lambda m, lc: (n_lc - 1 - lc, 0, m, 0),
+        memory_space=pltpu.VMEM,
+    )
+    cot_spec = pl.BlockSpec(
+        (L_CH, 4, 8, 128), lambda m, lc: (n_lc - 1 - lc, 0, m, 0),
+        memory_space=pltpu.VMEM,
+    )
+    tot_spec = pl.BlockSpec(
+        (8, 128), lambda m, lc: (m, 0), memory_space=pltpu.VMEM
+    )
+    h_spec = pl.BlockSpec(
+        (1, 1), lambda m, lc: (0, 0), memory_space=pltpu.SMEM
+    )
+
+    def _ins(in_ref, mf_ref):
+        # field order as the kernels index it:
+        # 0 t, 1 q, 2 c, 3 m_f, 4 P_f, 5 te, 6 tvn, 7 y, 8 upd, 9 rst
+        return (
+            _Row(in_ref, 0), _Row(in_ref, 1), _Row(in_ref, 2),
+            _Row(mf_ref, 0), _Row(mf_ref, 1),
+            _Row(in_ref, 3), _Row(in_ref, 4), _Row(in_ref, 5),
+            _Row(in_ref, 6), _Row(in_ref, 7),
+        )
+
+    def smooth_elem(ins, l):
+        tn, qn, cn, mf, Pf, TE = (
+            ins[0][l], ins[1][l], ins[2][l], ins[3][l], ins[4][l],
+            ins[5][l],
+        )
+        Pp = tn * tn * Pf + qn
+        G = Pf * tn / Pp
+        g = mf - G * (tn * mf + cn)
+        Lm = Pf - G * G * Pp
+        nTE = 1.0 - TE
+        return (nTE * G, TE * mf + nTE * g, TE * Pf + nTE * Lm), G
+
+    def sm_totals_kernel(h_ref, in_ref, mf_ref, *refs):
+        ins = _ins(in_ref, mf_ref)
+        outs = refs[:3]
+        car = refs[3:]
+        lc = pl.program_id(1)
+
+        @pl.when(lc == 0)
+        def _():
+            for i in range(3):
+                car[i][...] = jnp.full((8, 128), _ID1_SM[i], dtype)
+
+        acc = tuple(r[...] for r in car)
+        for l in reversed(range(L_CH)):
+            e, _ = smooth_elem(ins, l)
+            acc = _comb1_rev(acc, e)
+        for i in range(3):
+            car[i][...] = acc[i]
+
+        @pl.when(lc == n_lc - 1)
+        def _():
+            for i in range(3):
+                outs[i][...] = car[i][...]
+
+    totals = pl.pallas_call(
+        sm_totals_kernel,
+        grid=grid,
+        in_specs=[h_spec, rev_spec, mf_spec],
+        out_specs=[tot_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((MID, 128), dtype)] * 3,
+        scratch_shapes=[pltpu.VMEM((8, 128), dtype)] * 3,
+        interpret=_interpret(),
+    )(h_arr, tiles, mom)
+
+    RPD = NB // 128
+    if NB % 128 == 0 and RPD & (RPD - 1) == 0:
+        from smoothsde_tpu.ops.ctcrw_fused import _block_prefix_pallas
+
+        excl_tiles = _block_prefix_pallas(
+            list(totals), list(_ID1_SM), tuple, list, _comb1_rev,
+            NB, MID, dtype, reverse=True, interpret=_interpret(),
+        )
+    else:
+        tot_dnb = tuple(
+            x.reshape(lanes).reshape(d, NB) for x in totals
+        )
+        flipped = jax.tree.map(lambda x: jnp.flip(x, -1), tot_dnb)
+        incl = jax.lax.associative_scan(_comb1_rev, flipped, axis=-1)
+        incl = jax.tree.map(lambda x: jnp.flip(x, -1), incl)
+        excl = [
+            jnp.concatenate(
+                [x[:, 1:], jnp.full((d, 1), _ID1_SM[i], dtype)],
+                axis=1,
+            )
+            for i, x in enumerate(incl)
+        ]
+        excl_tiles = [
+            x.reshape(lanes).reshape(MID, 128) for x in excl
+        ]
+
+    if stitch is not None:
+        # total reverse element of THIS chunk per dim: suffix at each
+        # dim's FIRST block composed (outside) with that block's total;
+        # seed every block's suffix with the device suffix from stitch
+        first_idx = np.arange(d) * NB
+        excl_first = tuple(x.reshape(lanes)[first_idx] for x in excl_tiles)
+        tot_first = tuple(x.reshape(lanes)[first_idx] for x in totals)
+        chunk_total = _comb1_rev(excl_first, tot_first)
+        seed = stitch(chunk_total)
+        lane_dim = np.arange(lanes) // NB
+
+        def _expand(cv):
+            return jnp.take(cv, lane_dim, axis=0).reshape(MID, 128)
+
+        seed_e = tuple(_expand(cv) for cv in seed)
+        excl_tiles = list(_comb1_rev(seed_e, tuple(excl_tiles)))
+
+    def score_kernel(h_ref, in_ref, mf_ref, *refs):
+        ins = _ins(in_ref, mf_ref)
+        pref = refs[:3]
+        cot = refs[3]  # rows: tbar qbar cbar ybar
+        hbar_out = refs[4]
+        car = refs[5:8]
+        hacc = refs[8]
+        lc = pl.program_id(1)
+        hh = h_ref[0, 0]
+
+        @pl.when(lc == 0)
+        def _():
+            for i in range(3):
+                car[i][...] = pref[i][...]
+            hacc[...] = jnp.zeros((8, 128), dtype)
+
+        acc = tuple(r[...] for r in car)
+        ha = hacc[...]
+        for l in reversed(range(L_CH)):
+            ms1, Ps1 = acc[1], acc[2]
+            e, G = smooth_elem(ins, l)
+            acc = _comb1_rev(acc, e)
+            ms, Ps = acc[1], acc[2]
+
+            TVn = ins[6][l]
+            tn = ins[0][l]
+            cn = ins[2][l]
+            qs = TVn * ins[1][l] + (1.0 - TVn)
+            qi = 1.0 / qs
+            C = Ps1 * G  # lag-one Cov(x_{i+1}, x_i | y)
+            Exx = Ps + ms * ms
+            Ex2x1 = C + ms1 * ms
+            rb = ms1 - tn * ms - cn
+            tb = qi * (Ex2x1 - tn * Exx - cn * ms)
+            cb = qi * rb
+            Err = Ps1 + tn * tn * Ps - 2.0 * tn * C + rb * rb
+            qb = 0.5 * (qi * Err * qi - qi)
+            cot[l, 0] = TVn * tb
+            cot[l, 1] = TVn * qb
+            cot[l, 2] = TVn * cb
+            U = ins[8][l]
+            R = ins[9][l]
+            resid = ins[7][l] - ms
+            cot[l, 3] = U * (-resid / hh) + R * (-resid / p0)
+            ha = ha + U * (0.5 * (resid * resid + Ps) / (hh * hh)
+                           - 0.5 / hh)
+        for i in range(3):
+            car[i][...] = acc[i]
+        hacc[...] = ha
+
+        @pl.when(lc == n_lc - 1)
+        def _():
+            hbar_out[...] = hacc[...]
+
+    outs = pl.pallas_call(
+        score_kernel,
+        grid=grid,
+        in_specs=[h_spec, rev_spec, mf_spec] + [tot_spec] * 3,
+        out_specs=[cot_spec, tot_spec],
+        out_shape=(
+            jax.ShapeDtypeStruct((L_pad, 4, MID, 128), dtype),
+            jax.ShapeDtypeStruct((MID, 128), dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((8, 128), dtype)] * 4,
+        interpret=_interpret(),
+    )(h_arr, tiles, mom, *excl_tiles)
+
+    c_t, c_q, c_c, c_y = _unstack_tiles(outs[0], d, n, NB, L, L_pad, MID)
+    return c_t, c_q, c_c, c_y, jnp.sum(outs[1])
+
+
 def diag_fused_loglik(sys: DiagSystem):
     """Fused forward + Fisher-identity custom_vjp log-likelihood.
 
@@ -235,160 +613,17 @@ def diag_fused_loglik(sys: DiagSystem):
 
     @jax.custom_vjp
     def core(t, q, c, yd, h, resetf, updatef):
-        return _fwd(t, q, c, yd, h, resetf, updatef)[0]
-
-    def _fwd(t, q, c, yd, h, resetf, updatef):
-        import jax.experimental.pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
-
-        d, n = yd.shape
-        dtype = yd.dtype
-        NB, L, L_CH, L_pad, lanes, MID, n_lc = _plan(d, n)
-        raw = [t, q, c, yd, resetf, updatef]
-        pad_vals = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0]
-        tiles = _stack_tiles(raw, pad_vals, d, n, NB, L, L_pad, MID, dtype)
-        h_arr = jnp.asarray(h, dtype).reshape(1, 1)
-        grid = (MID // 8, n_lc)
-        in_spec = pl.BlockSpec(
-            (L_CH, 6, 8, 128), lambda m, lc: (lc, 0, m, 0),
-            memory_space=pltpu.VMEM,
-        )
-        mom_spec = pl.BlockSpec(
-            (L_CH, 2, 8, 128), lambda m, lc: (lc, 0, m, 0),
-            memory_space=pltpu.VMEM,
-        )
-        tot_spec = pl.BlockSpec(
-            (8, 128), lambda m, lc: (m, 0), memory_space=pltpu.VMEM
-        )
-        h_spec = pl.BlockSpec(
-            (1, 1), lambda m, lc: (0, 0), memory_space=pltpu.SMEM
-        )
-
-        def totals_kernel(h_ref, in_ref, *refs):
-            ins = _Tiles1(*(_Row(in_ref, i) for i in range(6)))
-            outs = refs[:5]
-            car = refs[5:]
-            lc = pl.program_id(1)
-            hh = h_ref[0, 0]
-
-            @pl.when(lc == 0)
-            def _():
-                for i in range(5):
-                    car[i][...] = jnp.full((8, 128), _ID1[i], dtype)
-
-            cur = tuple(r[...] for r in car)
-            for l in range(L_CH):
-                cur = _comb1(cur, _elem1(ins, hh, p0, l))
-            for i in range(5):
-                car[i][...] = cur[i]
-
-            @pl.when(lc == n_lc - 1)
-            def _():
-                for i in range(5):
-                    outs[i][...] = car[i][...]
-
-        totals = pl.pallas_call(
-            totals_kernel,
-            grid=grid,
-            in_specs=[h_spec, in_spec],
-            out_specs=[tot_spec] * 5,
-            out_shape=[jax.ShapeDtypeStruct((MID, 128), dtype)] * 5,
-            scratch_shapes=[pltpu.VMEM((8, 128), dtype)] * 5,
-            interpret=_interpret(),
-        )(h_arr, tiles)
-
-        RPD = NB // 128
-        if NB % 128 == 0 and RPD & (RPD - 1) == 0:
-            # single-launch cross-block scan (the XLA associative_scan
-            # unrolls into thousands of tiny HLOs; ctcrw_fused)
-            from smoothsde_tpu.ops.ctcrw_fused import _block_prefix_pallas
-
-            excl_tiles = _block_prefix_pallas(
-                list(totals), list(_ID1), tuple, list, _comb1,
-                NB, MID, dtype, reverse=False, interpret=_interpret(),
-            )
-        else:
-            tot_dnb = tuple(
-                x.reshape(lanes).reshape(d, NB) for x in totals
-            )
-            incl = jax.lax.associative_scan(_comb1, tot_dnb, axis=-1)
-            excl = [
-                jnp.concatenate(
-                    [jnp.full((d, 1), _ID1[i], dtype), x[:, :-1]], axis=1
-                )
-                for i, x in enumerate(incl)
-            ]
-            excl_tiles = [
-                x.reshape(lanes).reshape(MID, 128) for x in excl
-            ]
-
-        def scan_kernel(h_ref, in_ref, *refs):
-            ins = _Tiles1(*(_Row(in_ref, i) for i in range(6)))
-            pref = refs[:5]
-            mom_out, llk_out = refs[5], refs[6]
-            car = refs[7:12]
-            lacc = refs[12]
-            lc = pl.program_id(1)
-            hh = h_ref[0, 0]
-
-            @pl.when(lc == 0)
-            def _():
-                for i in range(5):
-                    car[i][...] = pref[i][...]
-                lacc[...] = jnp.zeros((8, 128), dtype)
-
-            cur = tuple(r[...] for r in car)
-            acc = lacc[...]
-            for l in range(L_CH):
-                a_pred = ins.t[l] * cur[1] + ins.c[l]
-                Pp = ins.t[l] * ins.t[l] * cur[2] + ins.q[l]
-                F = Pp + hh
-                u = ins.y[l] - a_pred
-                acc = acc + ins.upd[l] * (-0.5) * (jnp.log(F) + u * u / F)
-                cur = _comb1(cur, _elem1(ins, hh, p0, l))
-                mom_out[l, 0] = cur[1]
-                mom_out[l, 1] = cur[2]
-            for i in range(5):
-                car[i][...] = cur[i]
-            lacc[...] = acc
-
-            @pl.when(lc == n_lc - 1)
-            def _():
-                llk_out[...] = lacc[...]
-
-        outs = pl.pallas_call(
-            scan_kernel,
-            grid=grid,
-            in_specs=[h_spec, in_spec] + [tot_spec] * 5,
-            out_specs=[mom_spec, tot_spec],
-            out_shape=(
-                jax.ShapeDtypeStruct((L_pad, 2, MID, 128), dtype),
-                jax.ShapeDtypeStruct((MID, 128), dtype),
-            ),
-            scratch_shapes=[pltpu.VMEM((8, 128), dtype)] * 6,
-            interpret=_interpret(),
-        )(h_arr, tiles, *excl_tiles)
-        # moments stay in the kernel's stacked tile layout — they are
-        # only ever consumed by core_bwd below (rows: m_f, P_f); padded
-        # slots hold real pos-def filter states, which form identity
-        # smoothing elements under t = 1 / q = 0 / te = 0 (see
-        # smooth_elem: G = 1, g = 0, L = 0)
-        return jnp.sum(outs[1]), outs[0]
+        return _diag_fwd(t, q, c, yd, h, resetf, updatef, p0)[0]
 
     def core_fwd(t, q, c, yd, h, resetf, updatef):
-        llk, mom = _fwd(t, q, c, yd, h, resetf, updatef)
+        llk, mom = _diag_fwd(t, q, c, yd, h, resetf, updatef, p0)
         return llk, (t, q, c, yd, h, resetf, updatef, mom)
 
     def core_bwd(res, gbar):
-        import jax.experimental.pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
-
         t, q, c, yd, h, resetf, updatef, mom = res
         reset = resetf > 0.5
         prev_reset = jnp.concatenate([jnp.ones((1,), bool), reset[:-1]])
-        d, n = yd.shape
         dtype = yd.dtype
-        NB, L, L_CH, L_pad, lanes, MID, n_lc = _plan(d, n)
         sb = lambda x: jnp.concatenate(  # noqa: E731
             [x[..., 1:], jnp.zeros(x.shape[:-1] + (1,), x.dtype)], axis=-1
         )
@@ -399,188 +634,12 @@ def diag_fused_loglik(sys: DiagSystem):
         tv = (~reset) & (~prev_reset)
         tvn = sb(tv.astype(dtype))
 
-        raw = [sb1(t), sb(q), sb(c),
-               te.astype(dtype), tvn, yd,
-               updatef, resetf]
-        # identity smoothing elements in padding: q = 0, t = 1, te = 0
-        # -> G = 1, g = 0, L = 0 (the moment rows carry real pos-def
-        # filter states in their padded slots, see _fwd)
-        pad_vals = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
-        tiles = _stack_tiles(raw, pad_vals, d, n, NB, L, L_pad, MID, dtype)
-        h_arr = jnp.asarray(h, dtype).reshape(1, 1)
-        grid = (MID // 8, n_lc)
-        rev_spec = pl.BlockSpec(
-            (L_CH, 8, 8, 128), lambda m, lc: (n_lc - 1 - lc, 0, m, 0),
-            memory_space=pltpu.VMEM,
+        c_t, c_q, c_c, c_y, hsum = _diag_bwd(
+            sb1(t), sb(q), sb(c), te.astype(dtype), tvn, yd,
+            resetf, updatef, h, mom, p0,
         )
-        mf_spec = pl.BlockSpec(
-            (L_CH, 2, 8, 128), lambda m, lc: (n_lc - 1 - lc, 0, m, 0),
-            memory_space=pltpu.VMEM,
-        )
-        cot_spec = pl.BlockSpec(
-            (L_CH, 4, 8, 128), lambda m, lc: (n_lc - 1 - lc, 0, m, 0),
-            memory_space=pltpu.VMEM,
-        )
-        tot_spec = pl.BlockSpec(
-            (8, 128), lambda m, lc: (m, 0), memory_space=pltpu.VMEM
-        )
-        h_spec = pl.BlockSpec(
-            (1, 1), lambda m, lc: (0, 0), memory_space=pltpu.SMEM
-        )
-
-        def _ins(in_ref, mf_ref):
-            # field order as the kernels index it:
-            # 0 t, 1 q, 2 c, 3 m_f, 4 P_f, 5 te, 6 tvn, 7 y, 8 upd, 9 rst
-            return (
-                _Row(in_ref, 0), _Row(in_ref, 1), _Row(in_ref, 2),
-                _Row(mf_ref, 0), _Row(mf_ref, 1),
-                _Row(in_ref, 3), _Row(in_ref, 4), _Row(in_ref, 5),
-                _Row(in_ref, 6), _Row(in_ref, 7),
-            )
-
-        def smooth_elem(ins, l):
-            tn, qn, cn, mf, Pf, TE = (
-                ins[0][l], ins[1][l], ins[2][l], ins[3][l], ins[4][l],
-                ins[5][l],
-            )
-            Pp = tn * tn * Pf + qn
-            G = Pf * tn / Pp
-            g = mf - G * (tn * mf + cn)
-            Lm = Pf - G * G * Pp
-            nTE = 1.0 - TE
-            return (nTE * G, TE * mf + nTE * g, TE * Pf + nTE * Lm), G
-
-        def sm_totals_kernel(h_ref, in_ref, mf_ref, *refs):
-            ins = _ins(in_ref, mf_ref)
-            outs = refs[:3]
-            car = refs[3:]
-            lc = pl.program_id(1)
-
-            @pl.when(lc == 0)
-            def _():
-                for i in range(3):
-                    car[i][...] = jnp.full((8, 128), _ID1_SM[i], dtype)
-
-            acc = tuple(r[...] for r in car)
-            for l in reversed(range(L_CH)):
-                e, _ = smooth_elem(ins, l)
-                acc = _comb1_rev(acc, e)
-            for i in range(3):
-                car[i][...] = acc[i]
-
-            @pl.when(lc == n_lc - 1)
-            def _():
-                for i in range(3):
-                    outs[i][...] = car[i][...]
-
-        totals = pl.pallas_call(
-            sm_totals_kernel,
-            grid=grid,
-            in_specs=[h_spec, rev_spec, mf_spec],
-            out_specs=[tot_spec] * 3,
-            out_shape=[jax.ShapeDtypeStruct((MID, 128), dtype)] * 3,
-            scratch_shapes=[pltpu.VMEM((8, 128), dtype)] * 3,
-            interpret=_interpret(),
-        )(h_arr, tiles, mom)
-
-        RPD = NB // 128
-        if NB % 128 == 0 and RPD & (RPD - 1) == 0:
-            from smoothsde_tpu.ops.ctcrw_fused import _block_prefix_pallas
-
-            excl_tiles = _block_prefix_pallas(
-                list(totals), list(_ID1_SM), tuple, list, _comb1_rev,
-                NB, MID, dtype, reverse=True, interpret=_interpret(),
-            )
-        else:
-            tot_dnb = tuple(
-                x.reshape(lanes).reshape(d, NB) for x in totals
-            )
-            flipped = jax.tree.map(lambda x: jnp.flip(x, -1), tot_dnb)
-            incl = jax.lax.associative_scan(_comb1_rev, flipped, axis=-1)
-            incl = jax.tree.map(lambda x: jnp.flip(x, -1), incl)
-            excl = [
-                jnp.concatenate(
-                    [x[:, 1:], jnp.full((d, 1), _ID1_SM[i], dtype)],
-                    axis=1,
-                )
-                for i, x in enumerate(incl)
-            ]
-            excl_tiles = [
-                x.reshape(lanes).reshape(MID, 128) for x in excl
-            ]
-
-        def score_kernel(h_ref, in_ref, mf_ref, *refs):
-            ins = _ins(in_ref, mf_ref)
-            pref = refs[:3]
-            cot = refs[3]  # rows: tbar qbar cbar ybar
-            hbar_out = refs[4]
-            car = refs[5:8]
-            hacc = refs[8]
-            lc = pl.program_id(1)
-            hh = h_ref[0, 0]
-
-            @pl.when(lc == 0)
-            def _():
-                for i in range(3):
-                    car[i][...] = pref[i][...]
-                hacc[...] = jnp.zeros((8, 128), dtype)
-
-            acc = tuple(r[...] for r in car)
-            ha = hacc[...]
-            for l in reversed(range(L_CH)):
-                ms1, Ps1 = acc[1], acc[2]
-                e, G = smooth_elem(ins, l)
-                acc = _comb1_rev(acc, e)
-                ms, Ps = acc[1], acc[2]
-
-                TVn = ins[6][l]
-                tn = ins[0][l]
-                cn = ins[2][l]
-                qs = TVn * ins[1][l] + (1.0 - TVn)
-                qi = 1.0 / qs
-                C = Ps1 * G  # lag-one Cov(x_{i+1}, x_i | y)
-                Exx = Ps + ms * ms
-                Ex2x1 = C + ms1 * ms
-                rb = ms1 - tn * ms - cn
-                tb = qi * (Ex2x1 - tn * Exx - cn * ms)
-                cb = qi * rb
-                Err = Ps1 + tn * tn * Ps - 2.0 * tn * C + rb * rb
-                qb = 0.5 * (qi * Err * qi - qi)
-                cot[l, 0] = TVn * tb
-                cot[l, 1] = TVn * qb
-                cot[l, 2] = TVn * cb
-                U = ins[8][l]
-                R = ins[9][l]
-                resid = ins[7][l] - ms
-                cot[l, 3] = U * (-resid / hh) + R * (-resid / p0)
-                ha = ha + U * (0.5 * (resid * resid + Ps) / (hh * hh)
-                               - 0.5 / hh)
-            for i in range(3):
-                car[i][...] = acc[i]
-            hacc[...] = ha
-
-            @pl.when(lc == n_lc - 1)
-            def _():
-                hbar_out[...] = hacc[...]
-
-        outs = pl.pallas_call(
-            score_kernel,
-            grid=grid,
-            in_specs=[h_spec, rev_spec, mf_spec] + [tot_spec] * 3,
-            out_specs=[cot_spec, tot_spec],
-            out_shape=(
-                jax.ShapeDtypeStruct((L_pad, 4, MID, 128), dtype),
-                jax.ShapeDtypeStruct((MID, 128), dtype),
-            ),
-            scratch_shapes=[pltpu.VMEM((8, 128), dtype)] * 4,
-            interpret=_interpret(),
-        )(h_arr, tiles, mom, *excl_tiles)
-
-        c_t, c_q, c_c, c_y = (
-            gbar * x
-            for x in _unstack_tiles(outs[0], d, n, NB, L, L_pad, MID)
-        )
-        hbar = gbar * jnp.sum(outs[1])
+        c_t, c_q, c_c, c_y = (gbar * x for x in (c_t, c_q, c_c, c_y))
+        hbar = gbar * hsum
 
         def fwd1(x):
             return jnp.concatenate(
@@ -588,6 +647,8 @@ def diag_fused_loglik(sys: DiagSystem):
                 axis=-1,
             )
 
+        # leaving-slot cotangents -> entering-array indexing (slot i's
+        # leaving transition is the entering array's slot i+1)
         tbar = jnp.sum(fwd1(c_t), axis=0)
         qbar = jnp.sum(fwd1(c_q), axis=0)
         cbar = fwd1(c_c)
@@ -599,6 +660,100 @@ def diag_fused_loglik(sys: DiagSystem):
     dtype = sys.yd.dtype
     return core(sys.t, sys.q, sys.c, sys.yd, sys.h,
                 sys.reset.astype(dtype), sys.update.astype(dtype))
+
+
+def diag_fused_core_time_sharded(t, q, c, tn, qn, cn, te, tvn, yd, h,
+                                 resetf, updatef, *, axis, n_dev,
+                                 p0=10.0):
+    """Time-sharded diag (scalar-state) value+gradient on the fused
+    kernels — the BM_SSM / OU_SSM mirror of
+    kalman_soa.fused_par_core_time_sharded (SURVEY §2 Parallelism 2 at
+    single-chip kernel speed for the diag family; nllk_bm_ssm.hpp
+    127-175 is the reference's sequential loop).
+
+    Call INSIDE a shard_map body whose `axis` shards the step axis.
+    Entering rows (t, q, c) AND leaving rows (tn, qn, cn) plus the
+    look-ahead masks (te, tvn) must be computed on the FULL sequence
+    and sharded like the data — local shifts would replace every
+    cross-chunk transition with the identity. The forward all-gathers
+    the 5-component chunk-total filtering elements, the backward the
+    3-component smoothing totals; no AD crosses the collectives.
+
+    The Fisher score lands wholly on the LEAVING rows (tn, qn, cn);
+    the entering rows carry exact-zero cotangents — outer code derives
+    both from the same per-step scalars, so the chain rule sums to the
+    full gradient (same split as fused_par_core_time_sharded's
+    par/par_ent). Returns the LOCAL llk scalar (sum over devices done
+    by the caller outside shard_map)."""
+    dtype = yd.dtype
+    d = yd.shape[0]
+
+    def _idx(tree, k):
+        return tuple(x[k] for x in tree)
+
+    def stitch_fwd(chunk_total):
+        gathered = tuple(
+            jax.lax.all_gather(x, axis) for x in chunk_total
+        )  # leaves (n_dev, d)
+        my = jax.lax.axis_index(axis)
+        pref = tuple(jnp.full((d,), v, dtype) for v in _ID1)
+        for k in range(n_dev - 1):
+            cand = _comb1(pref, _idx(gathered, k))
+            pref = tuple(
+                jnp.where(k < my, cv, pv) for pv, cv in zip(pref, cand)
+            )
+        return pref
+
+    def stitch_bwd(chunk_total):
+        gathered = tuple(
+            jax.lax.all_gather(x, axis) for x in chunk_total
+        )
+        my = jax.lax.axis_index(axis)
+        suf = tuple(jnp.full((d,), v, dtype) for v in _ID1_SM)
+        for k in range(n_dev - 1, 0, -1):
+            cand = _comb1_rev(suf, _idx(gathered, k))
+            suf = tuple(
+                jnp.where(my < k, cv, sv) for sv, cv in zip(suf, cand)
+            )
+        return suf
+
+    @jax.custom_vjp
+    def core(t, q, c, tn, qn, cn, te, tvn, yd, h, resetf, updatef):
+        return _diag_fwd(
+            t, q, c, yd, h, resetf, updatef, p0, stitch=stitch_fwd
+        )[0]
+
+    def core_fwd(t, q, c, tn, qn, cn, te, tvn, yd, h, resetf, updatef):
+        llk, mom = _diag_fwd(
+            t, q, c, yd, h, resetf, updatef, p0, stitch=stitch_fwd
+        )
+        return llk, (tn, qn, cn, te, tvn, yd, h, resetf, updatef, mom)
+
+    def core_bwd(res, gbar):
+        tn, qn, cn, te, tvn, yd, h, resetf, updatef, mom = res
+        c_t, c_q, c_c, c_y, hsum = _diag_bwd(
+            tn, qn, cn, te, tvn, yd, resetf, updatef, h, mom, p0,
+            stitch=stitch_bwd,
+        )
+        # entering rows: exact-zero cotangents (see docstring); the
+        # leaving-row cotangents stay in leaving indexing — the caller
+        # built tn/qn/cn directly from the per-step scalars, so no
+        # re-shift is needed on this side
+        return (
+            jnp.zeros_like(tn),                   # t
+            jnp.zeros_like(qn),                   # q
+            jnp.zeros_like(cn),                   # c
+            gbar * jnp.sum(c_t, axis=0),          # tn (n,)
+            gbar * jnp.sum(c_q, axis=0),          # qn (n,)
+            gbar * c_c,                           # cn (d, n)
+            jnp.zeros_like(te), jnp.zeros_like(tvn),
+            gbar * c_y,                           # yd
+            (gbar * hsum).reshape(jnp.shape(h)),  # h
+            jnp.zeros_like(resetf), jnp.zeros_like(updatef),
+        )
+
+    core.defvjp(core_fwd, core_bwd)
+    return core(t, q, c, tn, qn, cn, te, tvn, yd, h, resetf, updatef)
 
 
 def diag_ssm_loglik_fused(type, par_mat, obs, times, ids, sigma_obs,

@@ -411,17 +411,21 @@ def _build_time_sharded_fused_ctcrw(
 
     shard = NamedSharding(mesh, P(axis))
     shard2 = NamedSharding(mesh, P(None, axis))
-    f32 = np.float32
+    # ambient precision, like the generic SoA path: f64 under jax x64
+    # (the CPU-mesh parity tests), f32 otherwise (TPU) — a hard f32
+    # cast here would mix dtypes against a float64 par_full
+    # (ADVICE r3 #2)
+    fdt = np.float64 if jax.config.jax_enable_x64 else np.float32
     yd_j = jax.device_put(
-        jnp.asarray(np.nan_to_num(obs_np).T.astype(f32)), shard2
+        jnp.asarray(np.nan_to_num(obs_np).T.astype(fdt)), shard2
     )
-    dt_j = jax.device_put(jnp.asarray(dt_np.astype(f32)), shard)
-    dte_j = jax.device_put(jnp.asarray(dt_ent.astype(f32)), shard)
-    rst_j = jax.device_put(jnp.asarray(reset.astype(f32)), shard)
-    prst_j = jax.device_put(jnp.asarray(prev_reset.astype(f32)), shard)
-    vld_j = jax.device_put(jnp.asarray(valid.astype(f32)), shard)
-    te_j = jax.device_put(jnp.asarray(te.astype(f32)), shard)
-    tvn_j = jax.device_put(jnp.asarray(tvn.astype(f32)), shard)
+    dt_j = jax.device_put(jnp.asarray(dt_np.astype(fdt)), shard)
+    dte_j = jax.device_put(jnp.asarray(dt_ent.astype(fdt)), shard)
+    rst_j = jax.device_put(jnp.asarray(reset.astype(fdt)), shard)
+    prst_j = jax.device_put(jnp.asarray(prev_reset.astype(fdt)), shard)
+    vld_j = jax.device_put(jnp.asarray(valid.astype(fdt)), shard)
+    te_j = jax.device_put(jnp.asarray(te.astype(fdt)), shard)
+    tvn_j = jax.device_put(jnp.asarray(tvn.astype(fdt)), shard)
 
     def local(par_c, pare_c, yd_c, h, dte_c, dt_c, rst_c, prst_c,
               vld_c, te_c, tvn_c):
@@ -449,8 +453,9 @@ def _build_time_sharded_fused_ctcrw(
     )
 
     def loglik(full, par_full):
+        dtp = par_full.dtype
         sobs = jnp.exp(full["log_sigma_obs"][0])
-        h = (sobs * sobs).astype(par_full.dtype)
+        h = (sobs * sobs).astype(dtp)
         par_p = (
             jnp.concatenate(
                 [
@@ -466,9 +471,156 @@ def _build_time_sharded_fused_ctcrw(
         # entering-transition par rows (global one-step shift; slot 0's
         # value is masked by prev_reset[0] = True)
         par_ent = jnp.concatenate([par_p[:1], par_p[:-1]])
+        # buffers follow the CALLER's par dtype (no-op casts when they
+        # already match; an f32 theta under ambient x64 stays f32)
         return jnp.sum(sharded(
-            par_p, par_ent, yd_j, h, dte_j, dt_j, rst_j, prst_j,
-            vld_j, te_j, tvn_j,
+            par_p, par_ent, yd_j.astype(dtp), h, dte_j.astype(dtp),
+            dt_j.astype(dtp), rst_j.astype(dtp), prst_j.astype(dtp),
+            vld_j.astype(dtp), te_j.astype(dtp), tvn_j.astype(dtp),
+        ))
+
+    return loglik
+
+
+def _build_time_sharded_fused_diag(
+    spec,
+    obs: np.ndarray,
+    times: np.ndarray,
+    ids: np.ndarray,
+    mesh: Mesh,
+    axis: str,
+):
+    """Time-sharded BM_SSM / OU_SSM likelihood at single-chip
+    fused-kernel speed (ops/diag_fused.diag_fused_core_time_sharded).
+
+    The par-dependent per-step scalars (t_s, q_s, b_s) are computed
+    in-graph on the FULL sequence; the entering rows (one-step shift
+    masked by prev_reset) and the backward's leaving rows (shift-back)
+    are GLOBAL shifts executed under GSPMD (one-slot halo exchanges),
+    so every cross-chunk transition survives sharding. Masks are
+    precomputed host-side with the padded dummy track.
+    """
+    from smoothsde_tpu.ops.diag_fused import diag_fused_core_time_sharded
+    from smoothsde_tpu.ops.kalman_soa import precompute_dt
+
+    n_dev = int(mesh.shape[axis])
+    n = len(ids)
+    pad = (-n) % n_dev
+
+    obs_np = np.asarray(obs, float)
+    times_np = np.asarray(times, float)
+    ids_codes = np.unique(np.asarray(ids), return_inverse=True)[1]
+    dt_np = precompute_dt(times_np, ids_codes)
+    if pad:
+        obs_np = np.concatenate(
+            [obs_np, np.full((pad, obs_np.shape[1]), np.nan)]
+        )
+        ids_codes = np.concatenate(
+            [ids_codes, np.full(pad, ids_codes.max() + 1)]
+        )
+        dt_np = np.concatenate([dt_np[:-1], [1.0], np.ones(pad)])
+    n_pad = n + pad
+    n_dim = obs_np.shape[1]
+
+    reset = np.concatenate([[True], ids_codes[1:] != ids_codes[:-1]])
+    prev_reset = np.concatenate([[True], reset[:-1]])
+    valid = np.isfinite(obs_np[:, 0])
+    update = valid & (~reset)
+    te = np.concatenate([reset[1:], [True]])
+    tv = (~reset) & (~prev_reset)
+    tvn = np.concatenate([tv[1:], [False]])
+
+    shard = NamedSharding(mesh, P(axis))
+    shard2 = NamedSharding(mesh, P(None, axis))
+    fdt = np.float64 if jax.config.jax_enable_x64 else np.float32
+    yd_j = jax.device_put(
+        jnp.asarray(np.nan_to_num(obs_np).T.astype(fdt)), shard2
+    )
+    dt_j = jax.device_put(jnp.asarray(dt_np.astype(fdt)), shard)
+    rst_j = jax.device_put(jnp.asarray(reset.astype(fdt)), shard)
+    prst_j = jax.device_put(jnp.asarray(prev_reset.astype(fdt)), shard)
+    upd_j = jax.device_put(jnp.asarray(update.astype(fdt)), shard)
+    te_j = jax.device_put(jnp.asarray(te.astype(fdt)), shard)
+    tvn_j = jax.device_put(jnp.asarray(tvn.astype(fdt)), shard)
+
+    def local(t, q, c, tn, qn, cn, te_c, tvn_c, yd_c, h, rst_c, upd_c):
+        llk_local = diag_fused_core_time_sharded(
+            t, q, c, tn, qn, cn, te_c, tvn_c, yd_c, h, rst_c, upd_c,
+            axis=axis, n_dev=n_dev,
+        )
+        # summed OUTSIDE shard_map (see _build_time_sharded_fused_ctcrw
+        # on the replicated-output cotangent convention)
+        return jnp.reshape(llk_local, (1,))
+
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(axis), P(axis), P(None, axis),
+            P(axis), P(axis), P(None, axis),
+            P(axis), P(axis), P(None, axis), P(),
+            P(axis), P(axis),
+        ),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+
+    def loglik(full, par_full):
+        dtp = par_full.dtype
+        sobs = jnp.exp(full["log_sigma_obs"][0])
+        h = (sobs * sobs).astype(dtp)
+        par_p = (
+            jnp.concatenate(
+                [
+                    par_full,
+                    jnp.broadcast_to(
+                        par_full[-1:], (pad, par_full.shape[1])
+                    ),
+                ]
+            )
+            if pad
+            else par_full
+        )
+        dt_c = dt_j.astype(dtp)
+        prst = prst_j.astype(dtp)
+        mu = par_p[:, :n_dim].T  # (d, n_pad)
+        if spec.type == "BM_SSM":
+            sigma = jnp.exp(par_p[:, n_dim])
+            t_s = jnp.ones_like(sigma)
+            b_s = dt_c[None, :] * mu
+            q_s = sigma**2 * dt_c
+        else:  # OU_SSM
+            tau = jnp.exp(par_p[:, n_dim])
+            kappa = jnp.exp(par_p[:, n_dim + 1])
+            decay = jnp.exp(-dt_c / tau)
+            t_s = decay
+            b_s = (1.0 - decay)[None, :] * mu
+            q_s = kappa * (1.0 - decay**2)
+
+        def shift(x, fill=0.0):
+            return jnp.concatenate(
+                [jnp.full(x.shape[:-1] + (1,), fill, x.dtype),
+                 x[..., :-1]], axis=-1,
+            )
+
+        def sb(x, fill=0.0):
+            return jnp.concatenate(
+                [x[..., 1:],
+                 jnp.full(x.shape[:-1] + (1,), fill, x.dtype)], axis=-1,
+            )
+
+        # entering rows (global one-step shift, masked at track starts)
+        t_in = prst * 1.0 + (1.0 - prst) * shift(t_s, 1.0)
+        q_in = (1.0 - prst) * shift(q_s)
+        c_in = (1.0 - prst)[None, :] * shift(b_s)
+        # leaving rows for the Fisher backward (global shift-back)
+        tn = sb(t_in, 1.0)
+        qn = sb(q_in)
+        cn = sb(c_in)
+        return jnp.sum(sharded(
+            t_in, q_in, c_in, tn, qn, cn, te_j.astype(dtp),
+            tvn_j.astype(dtp), yd_j.astype(dtp), h,
+            rst_j.astype(dtp), upd_j.astype(dtp),
         ))
 
     return loglik
@@ -515,6 +667,15 @@ def _build_time_sharded_soa_loglik(
         # lets the CPU-mesh tests drive the identical composition)
         return _build_time_sharded_fused_ctcrw(
             obs, times, ids, mesh, axis
+        )
+    if spec.type in ("BM_SSM", "OU_SSM") and (
+        _mesh_on_tpu(mesh) or _interpret()
+    ):
+        # the scalar-state family's fused time path (VERDICT r3 item 3:
+        # the CTCRW-only gate left BM_SSM/OU_SSM on the ~7x-slower
+        # blocked SoA scan)
+        return _build_time_sharded_fused_diag(
+            spec, obs, times, ids, mesh, axis
         )
 
     n_dev = int(mesh.shape[axis])
