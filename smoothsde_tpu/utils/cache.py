@@ -210,6 +210,16 @@ def maybe_enable_default_cache() -> None:
 
     No-op when the user (or a tool) already configured
     jax_compilation_cache_dir, or opted out via env.
+
+    TPU-only by default: the cache exists to amortize the 30-70 s
+    remote-tunnel compiles; CPU compiles are cheap AND reloading
+    XLA:CPU AOT cache entries can crash outright when the loader
+    rejects the compile-time machine features (observed 2026-08-21:
+    `cpu_aot_loader` warns "+prefer-no-scatter is not supported on the
+    host machine ... could lead to execution errors such as SIGILL",
+    followed by a segfault inside the reloaded executable — jaxlib
+    0.9.0). Users who want it on CPU can call
+    enable_compilation_cache() explicitly.
     """
     global _done
     if _done or os.environ.get("SMOOTHSDE_NO_COMPILE_CACHE"):
@@ -218,5 +228,7 @@ def maybe_enable_default_cache() -> None:
 
     if jax.config.jax_compilation_cache_dir:
         _done = True  # respect the existing configuration
+        return
+    if jax.default_backend() != "tpu":
         return
     enable_compilation_cache()

@@ -20,6 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # every test here runs a full fit
+
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 

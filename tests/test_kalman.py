@@ -4,6 +4,7 @@ identity BM_SSM(H -> 0) == closed-form BM."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy import stats
 
 from smoothsde_tpu.models.ssm import bm_ssm_steps, ctcrw_steps, ou_ssm_steps
@@ -105,6 +106,7 @@ class TestSequentialFilter:
         assert np.isclose(float(llk), _brute_force_llk(steps), rtol=1e-8)
 
 
+@pytest.mark.slow
 class TestParallelFilter:
     def test_matches_sequential(self):
         rng = np.random.default_rng(2)
@@ -198,6 +200,7 @@ class TestModelBuilders:
         assert np.isclose(float(steps.b[0, 0]), 1.0, rtol=1e-6)
 
 
+@pytest.mark.slow
 class TestPerDimFastPath:
     def test_ctcrw_perdim_matches_full(self):
         import jax
@@ -245,6 +248,7 @@ class TestPerDimFastPath:
             assert np.isclose(float(llk_full), float(llk_pd), rtol=1e-10), type
 
 
+@pytest.mark.slow
 class TestSoAFilters:
     def test_ctcrw_soa_matches_generic(self):
         from smoothsde_tpu.ops.kalman_soa import ctcrw_loglik_soa
@@ -290,6 +294,7 @@ class TestSoAFilters:
             assert np.isclose(float(llk_ref), float(llk_soa), rtol=1e-10), type
 
 
+@pytest.mark.slow
 class TestAnalyticGradient:
     def _problem(self, seed=30, n=250, n_tracks=3):
         rng = np.random.default_rng(seed)
@@ -409,6 +414,7 @@ class TestSmoothedStates:
             ), i
 
 
+@pytest.mark.slow
 class TestFusedPallas:
     """Fused Pallas filter (interpret mode on CPU): value and
     Fisher-identity gradient vs the sequential AD oracle."""
@@ -741,6 +747,7 @@ class TestInnovations:
         assert np.isclose(float(llk_seq), llk, rtol=1e-10)
 
 
+@pytest.mark.slow
 class TestTrackBatching:
     """Per-track batching of the sequential filter (ops/kalman.py
     track_pad_plan / batch_steps_by_track): the latency fix for the

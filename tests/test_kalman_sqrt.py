@@ -14,6 +14,8 @@ from smoothsde_tpu.ops.kalman_sqrt import (
     diag_ssm_loglik_sqrt,
 )
 
+pytestmark = pytest.mark.slow  # long f32-accuracy and gradient parity runs
+
 
 def _data(seed, n, n_tracks=1):
     rng = np.random.default_rng(seed)

@@ -8,6 +8,7 @@ oracle class SURVEY.md section 4 prescribes."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy import stats
 
 from smoothsde_tpu.formula.design import build_design
@@ -62,6 +63,7 @@ def _analytic_marginal(outer, obs, times, ids, n_id, n_per):
     return total
 
 
+@pytest.mark.slow
 class TestLaplaceExactness:
     def test_marginal_matches_analytic(self):
         bundle, data, obs, times, ids, n_id, n_per = _bm_re_setup()
@@ -191,6 +193,7 @@ class TestHybridLaplace:
         )
 
 
+@pytest.mark.slow
 class TestDeviceLBFGS:
     def test_device_lbfgs_matches_scipy_fit(self):
         """optimizer='device' (one-dispatch on-device L-BFGS) reaches

@@ -7,6 +7,8 @@ import pytest
 
 from smoothsde_tpu import SDE
 
+pytestmark = pytest.mark.slow  # every test here runs a full fit
+
 
 class TestBMt:
     def test_fit_recovers_scale(self):

@@ -4,6 +4,7 @@ data parallelism and the time-sharded distributed prefix scan."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from smoothsde_tpu.models.ssm import ctcrw_steps
@@ -30,6 +31,7 @@ class TestPackTracks:
         assert int(packed.lengths.sum()) == 500
 
 
+@pytest.mark.slow
 class TestTimeShardedScan:
     def test_matches_sequential_8_devices(self):
         mesh = make_mesh(8, axis="time")
@@ -110,6 +112,7 @@ class TestTimeShardedScan:
         )
 
 
+@pytest.mark.slow
 class TestBatchedTracks:
     def test_vmapped_tracks_match_flat(self):
         from smoothsde_tpu.parallel.batching import batched_loglik

@@ -295,6 +295,7 @@ class TestCheckpoint:
         assert t["first_s"] >= t["steady_s"] * 0.5  # first includes compile
 
 
+@pytest.mark.slow
 class TestVignetteOU2D:
     def test_2d_ou_with_fixpar_means_and_time_smooth(self):
         """Pattern of the reference vignette's second analysis
@@ -427,6 +428,7 @@ class TestMiscParity:
         assert np.allclose(mats["X_re"].toarray(), dense["X_re"])
 
 
+@pytest.mark.slow
 class TestREML:
     def test_reml_fit_matches_ml_closely(self):
         """criterion='REML' integrates the FE coefficients out

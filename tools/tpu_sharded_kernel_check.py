@@ -120,6 +120,49 @@ def main():
     f_ti = jax.jit(jax.value_and_grad(nllk_time))
     ms_ti = timeit(f_ti, (theta0,))
 
+    # ---- diag family (BM_SSM): unsharded fused vs time-sharded ----
+    from smoothsde_tpu.ops.diag_fused import diag_ssm_loglik_fused
+
+    z1 = np.cumsum(rng.normal(size=n) * 0.3).astype(np.float32)
+    obs1_j = jnp.asarray(z1[:, None])
+    times1_j = jnp.asarray(times1, dtype)
+    dt1_j = jnp.asarray(precompute_dt(times1, ids1), dtype)
+    theta_d = jnp.asarray([0.0, np.log(0.8)], dtype)
+
+    def nllk_diag_flat(theta):
+        par = jnp.broadcast_to(theta, (n, 2))
+        return -diag_ssm_loglik_fused(
+            "BM_SSM", par, obs1_j, times1_j, ids1,
+            sigma_obs=jnp.asarray(0.1, dtype), dt=dt1_j,
+        )
+
+    f_dflat = jax.jit(jax.value_and_grad(nllk_diag_flat))
+    ms_dflat = timeit(f_dflat, (theta_d,))
+    v_dflat, g_dflat = f_dflat(theta_d)
+
+    spec_d = get_model_spec("BM_SSM", n_dim=1)
+    loglik_dt = _build_time_sharded_soa_loglik(
+        spec_d, z1[:, None], times1, ids1,
+        Mesh(np.array(jax.devices()[:1]), ("time",)), "time",
+    )
+
+    def nllk_diag_time(theta):
+        par = jnp.broadcast_to(theta, (n, 2))
+        return -loglik_dt(full0, par)
+
+    f_dti = jax.jit(jax.value_and_grad(nllk_diag_time))
+    ms_dti = timeit(f_dti, (theta_d,))
+    v_dti, g_dti = f_dti(theta_d)
+    diag_rel_v = abs(float(v_dti) - float(v_dflat)) / (
+        1 + abs(float(v_dflat))
+    )
+    diag_rel_g = float(
+        np.max(
+            np.abs(np.asarray(g_dti) - np.asarray(g_dflat))
+            / (np.abs(np.asarray(g_dflat)) + 1e-3)
+        )
+    )
+
     rel_v = abs(float(v_tr) - float(v_flat)) / (1 + abs(float(v_flat)))
     rel_g = float(
         np.max(
@@ -132,12 +175,23 @@ def main():
         "n_steps": n,
         "unsharded_fused_ms": round(ms_flat, 3),
         "tracks_sharded_ms": round(ms_tr, 3),
-        "time_sharded_soa_ms": round(ms_ti, 3),
+        "time_sharded_fused_ms": round(ms_ti, 3),
         "tracks_overhead_x": round(ms_tr / ms_flat, 3),
         "time_overhead_x": round(ms_ti / ms_flat, 3),
         "tracks_value_relerr": rel_v,
         "tracks_grad_relerr": rel_g,
-        "pass": bool(ms_tr / ms_flat < 1.3 and rel_v < 1e-4),
+        "diag_unsharded_fused_ms": round(ms_dflat, 3),
+        "diag_time_sharded_ms": round(ms_dti, 3),
+        "diag_time_overhead_x": round(ms_dti / ms_dflat, 3),
+        "diag_value_relerr": diag_rel_v,
+        "diag_grad_relerr": diag_rel_g,
+        "pass": bool(
+            ms_tr / ms_flat < 1.3
+            and ms_ti / ms_flat < 1.3
+            and ms_dti / ms_dflat < 1.3
+            and rel_v < 1e-4
+            and diag_rel_v < 1e-4
+        ),
     }
     print(json.dumps(row), flush=True)
     with open("tools/sharded_kernel_check.jsonl", "a") as f:
