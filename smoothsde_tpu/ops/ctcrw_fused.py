@@ -586,7 +586,7 @@ _N_BD = 5  # boundary rows: prev lt, ln, dt, mu, rst per lane
 
 
 def build_par_stack(mu, lt, ln, dtv, te, tvn, yd, upd, rst,
-                    d, n, NB, L, L_pad, MID, dtype):
+                    d, n, NB, L, L_pad, MID, dtype, ent=None):
     """The shared par-space input stack + per-lane boundary tiles.
 
     Returns (tiles (L_pad, 10, MID, 128), bd (5, MID, 128)). bd holds
@@ -594,27 +594,44 @@ def build_par_stack(mu, lt, ln, dtv, te, tvn, yd, upd, rst,
     step (step b*L - 1, a different lane's last step): the forward
     kernels carry prev-slot par across steps in scratch and must seed
     that carry at lane starts. Lane 0 rows are masked by rst = 1 (the
-    global first step's entering transition is the identity)."""
+    global first step's entering transition is the identity).
+
+    ent: optional (mu_ent (d, n), lt_ent (n,), ln_ent (n,),
+    dt_ent (n,), prst (n,)) — GLOBALLY shifted entering copies for a
+    time CHUNK of a longer sequence. bd is then read at the lane-start
+    slots themselves (slot b*L's entering values = slot b*L - 1's
+    leaving values, which for lane 0 live on the PREVIOUS device and
+    cannot be recovered from the local rows); prst doubles as the
+    rst-of-previous-slot row, with the true global start carrying
+    prst[0] = 1."""
     raw = [lt, ln, dtv, mu, te, tvn, yd, upd, rst,
            jnp.ones((n,), dtype)]
     tiles = _stack_tiles(
         raw, [0.0] * _PAR_ROWS, d, n, NB, L, L_pad, MID, dtype
     )
-    bidx = np.maximum(np.arange(NB) * L - 1, 0)
-    bidx = np.minimum(bidx, n - 1)
-    first = np.arange(NB) * L == 0  # lane starts the whole sequence
+    if ent is None:
+        bidx = np.maximum(np.arange(NB) * L - 1, 0)
+        bidx = np.minimum(bidx, n - 1)
+        first = np.arange(NB) * L == 0  # lane starts the whole sequence
+        b_mu, b_lt, b_ln, b_dt = mu, lt, ln, dtv
+        rst_b = jnp.take(rst.astype(dtype), bidx, axis=0)
+        rst_b = jnp.where(
+            jnp.asarray(first), jnp.asarray(1.0, dtype), rst_b
+        )
+    else:
+        b_mu, b_lt, b_ln, b_dt, prst = ent
+        bidx = np.minimum(np.arange(NB) * L, n - 1)
+        rst_b = jnp.take(prst.astype(dtype), bidx, axis=0)
 
     def lane_tile(row, is_mu=False):
         v = row[..., bidx] if is_mu else jnp.take(row, bidx, axis=0)
         v = jnp.broadcast_to(v, (d, NB)).astype(dtype)
         return v.reshape(MID, 128)
 
-    rst_b = jnp.take(rst.astype(dtype), bidx, axis=0)
-    rst_b = jnp.where(jnp.asarray(first), jnp.asarray(1.0, dtype), rst_b)
     rst_b = jnp.broadcast_to(rst_b, (d, NB)).reshape(MID, 128)
     bd = jnp.stack([
-        lane_tile(lt), lane_tile(ln), lane_tile(dtv),
-        lane_tile(mu, is_mu=True), rst_b,
+        lane_tile(b_lt), lane_tile(b_ln), lane_tile(b_dt),
+        lane_tile(b_mu, is_mu=True), rst_b,
     ])
     return tiles, bd
 

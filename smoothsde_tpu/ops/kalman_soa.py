@@ -703,21 +703,39 @@ def fused_par_core_time_sharded(par_mat, par_ent, yd, h, dt_ent, dtv,
     """
     from smoothsde_tpu.ops.ctcrw_fused import (
         _ID_VALS,
-        _pack_elem,
-        _unpack_elem_full,
+        build_par_stack,
         fused_backward_par,
-        fused_filter,
+        fused_filter_par,
     )
     from smoothsde_tpu.ops.kalman_smooth import _combine2_rev, _ID_S2
 
     dtype = par_mat.dtype
+    d = n_dim
+    n = par_mat.shape[0]
+    # tile geometry — must equal fused_backward_par's internal formula
+    base = 1024 // int(np.gcd(d, 1024))
+    NB = base
+    while NB * 2 <= min(2048, max(n, base)):
+        NB *= 2
+    L = -(-n // NB)
+    L_pad = -(-L // 16) * 16
+    MID = (d * NB) // 128
+    geom = dict(d=d, n=n, NB=NB, L=L, L_pad=L_pad, MID=MID, dtype=dtype)
 
-    def _system(par_ent, yd, h, dt_ent, resetf, prevresetf, validf):
-        return _ctcrw_system(
-            par_ent, None, None, None, None, p0_pos, p0_vel,
-            dt=dt_ent, yd=yd, h=h, reset=resetf > 0.5,
-            valid=validf > 0.5, pre_shifted=True,
-            prev_reset=prevresetf > 0.5,
+    def _stack(par_mat, par_ent, yd, dt_ent, dtv, resetf, prevresetf,
+               validf, tef, tvnf):
+        # par-space stack over the LOCAL chunk; the lane-boundary
+        # tiles come from the GLOBALLY shifted entering copies, which
+        # is what lets lane 0 see the previous DEVICE's last par
+        mu = par_mat[:, :d].T
+        updf = validf * (1.0 - resetf)
+        ent = (
+            par_ent[:, :d].T, par_ent[:, d], par_ent[:, d + 1],
+            dt_ent, prevresetf,
+        )
+        return build_par_stack(
+            mu, par_mat[:, d], par_mat[:, d + 1], dtv, tef, tvnf,
+            yd, updf, resetf, **geom, ent=ent,
         )
 
     def _idx(tree, k):
@@ -725,6 +743,8 @@ def fused_par_core_time_sharded(par_mat, par_ent, yd, h, dt_ent, dtv,
 
     def stitch_fwd(chunk_total):
         # chunk_total: Element2 of (d,) arrays -> exclusive prefix
+        from smoothsde_tpu.ops.ctcrw_fused import _unpack_elem_full
+
         gathered = jax.tree.map(
             lambda x: jax.lax.all_gather(x, axis), chunk_total
         )  # leaves (n_dev, d)
@@ -758,55 +778,53 @@ def fused_par_core_time_sharded(par_mat, par_ent, yd, h, dt_ent, dtv,
     @jax.custom_vjp
     def core(par_mat, par_ent, yd, h, dt_ent, dtv, resetf, prevresetf,
              validf, tef, tvnf):
-        sys = _system(par_ent, yd, h, dt_ent, resetf, prevresetf, validf)
-        llk = fused_filter(
-            sys, want_moments=False, stitch=stitch_fwd
+        tiles, bd = _stack(
+            par_mat, par_ent, yd, dt_ent, dtv, resetf, prevresetf,
+            validf, tef, tvnf,
+        )
+        return fused_filter_par(
+            tiles, bd, h, **geom, p0_pos=p0_pos, p0_vel=p0_vel,
+            want_moments=False, stitch=stitch_fwd,
         )[0]
-        return llk
 
     def core_fwd(par_mat, par_ent, yd, h, dt_ent, dtv, resetf,
                  prevresetf, validf, tef, tvnf):
-        sys = _system(par_ent, yd, h, dt_ent, resetf, prevresetf, validf)
-        llk, m_f, _ = fused_filter(
-            sys, want_moments=True, tiled_moments=True, stitch=stitch_fwd
+        tiles, bd = _stack(
+            par_mat, par_ent, yd, dt_ent, dtv, resetf, prevresetf,
+            validf, tef, tvnf,
         )
-        # par_ent / dt_ent get exact-zero cotangents shaped like
-        # par_mat / dtv (see core_bwd): nothing of them is saved, so
-        # the buffers die after the forward instead of being kept
-        # alive through the backward for zeros_like (ADVICE r3 #4)
-        res = (par_mat, yd, h, dtv, resetf, prevresetf, validf,
-               tef, tvnf, m_f)
-        return llk, res
+        llk, m_f, _ = fused_filter_par(
+            tiles, bd, h, **geom, p0_pos=p0_pos, p0_vel=p0_vel,
+            want_moments=True, tiled_moments=True, stitch=stitch_fwd,
+        )
+        # residuals: the SHARED par stack + tiled moments + h — one
+        # _stack_tiles pass serves both directions, and par_ent /
+        # dt_ent (exact-zero cotangents shaped like par_mat / dtv) are
+        # not retained (ADVICE r3 #4)
+        return llk, (tiles, m_f, h)
 
     def core_bwd(res, gbar):
-        (par_mat, yd, h, dtv, resetf, prevresetf, validf,
-         tef, tvnf, m_f) = res
-        reset = resetf > 0.5
-        prev_reset = prevresetf > 0.5
-        update = (validf > 0.5) & (~reset)
-        mu = par_mat[:, :n_dim].T
-        lt = par_mat[:, n_dim]
-        ln = par_mat[:, n_dim + 1]
+        tiles, m_f, h = res
+        yd_sds = jax.ShapeDtypeStruct((d, n), dtype)
         mubar, ltbar, lnbar, ybar, hbar = fused_backward_par(
-            yd, h, reset, prev_reset, update, p0_pos, p0_vel,
-            mu, lt, ln, dtv, m_f, gbar,
-            stitch=stitch_bwd, te=tef, tvn=tvnf,
+            yd_sds, h, None, None, None, p0_pos, p0_vel,
+            None, None, None, None, m_f, gbar,
+            stitch=stitch_bwd, tiles=tiles,
         )
         par_bar = jnp.concatenate(
             [mubar.T, ltbar[:, None], lnbar[:, None]], axis=1
         )
+        z = jnp.zeros((n,), dtype)
         # par_ent/dt_ent cotangents are exactly zero: the backward
         # scores each slot's LEAVING transition from the unshifted
         # par_mat/dtv, which already accounts for the whole dependence
         return (
             par_bar,
-            jnp.zeros_like(par_mat), ybar,  # par_ent: same shape/dtype
+            jnp.zeros_like(par_bar), ybar,  # par_ent
             jnp.reshape(hbar, jnp.shape(h)),
-            jnp.zeros_like(dtv),  # dt_ent: same shape/dtype as dtv
-            jnp.zeros_like(dtv),
-            jnp.zeros_like(resetf), jnp.zeros_like(prevresetf),
-            jnp.zeros_like(validf), jnp.zeros_like(tef),
-            jnp.zeros_like(tvnf),
+            z,  # dt_ent
+            z,  # dtv
+            z, z, z, z, z,
         )
 
     core.defvjp(core_fwd, core_bwd)
