@@ -17,6 +17,7 @@
 #include <cmath>
 #include <cstdio>
 #include <cstring>
+#include <cstdlib>
 #include <random>
 #include <vector>
 
@@ -74,6 +75,24 @@ static double ctcrw_nllk(const std::vector<double>& dt,
 
 // ---- CIR transition nllk via noncentral chi^2 (tr_dens.hpp:53-67),
 // log-scaled Bessel for 1M-step stability ----
+static double log_bessel_i(double nu, double x) {
+  // exact where the library function is safe; UNIFORM large-order
+  // (Debye, DLMF 10.41.3) expansion with the u1 correction elsewhere
+  // — a plain large-x asymptotic is wrong when nu^2 ~ x (it biased a
+  // CIR fit's beta by 2x before this branch was fixed)
+  if (x < 30.0 && nu < 30.0) {
+    return std::log(std::cyl_bessel_i(nu, x));
+  }
+  const double s = std::sqrt(nu * nu + x * x);
+  const double p = nu / s;
+  double logI = s + nu * std::log(x / (nu + s)) -
+                0.5 * std::log(2.0 * M_PI * s);
+  // u1(p)/nu in the s-parametrization: (3/s - 5 nu^2 / s^3) / 24
+  logI += std::log1p((3.0 / s - 5.0 * nu * nu / (s * s * s)) / 24.0);
+  (void)p;
+  return logI;
+}
+
 static double cir_nllk(const std::vector<double>& z, double dt, double mu,
                        double beta, double sigma) {
   const size_t n = z.size();
@@ -86,17 +105,8 @@ static double cir_nllk(const std::vector<double>& z, double dt, double mu,
     const double u = c * z[i - 1] * ebd;
     const double v = c * z[i];
     const double x = 2.0 * std::sqrt(u * v);
-    // log I_q(x): series for small x, uniform asymptotic for large —
-    // matches the library's stable log-Bessel branch behavior
-    double logI;
-    if (x < 50.0) {
-      logI = std::log(std::cyl_bessel_i(q, x));
-    } else {
-      // I_q(x) ~ e^x / sqrt(2 pi x) * (1 - (4q^2-1)/(8x))
-      logI = x - 0.5 * std::log(2.0 * M_PI * x) +
-             std::log1p(-(4.0 * q * q - 1.0) / (8.0 * x));
-    }
-    nllk -= std::log(c) - u - v + 0.5 * q * std::log(v / u) + logI;
+    nllk -= std::log(c) - u - v + 0.5 * q * std::log(v / u) +
+            log_bessel_i(q, x);
   }
   return nllk;
 }
@@ -202,6 +212,7 @@ static FitStats bfgs_fit(F&& fn, std::vector<double>& x, int maxiter,
 
 int main(int argc, char** argv) {
   const char* cfg = argc > 1 ? argv[1] : "3";
+  const double gtol = argc > 2 ? std::atof(argv[2]) : 1e-3;
   std::mt19937_64 gen(2);
   std::normal_distribution<double> N(0.0, 1.0);
 
@@ -248,7 +259,7 @@ int main(int argc, char** argv) {
                         std::exp(p[3]), std::exp(p[4]));
     };
     const double t0 = now_ms();
-    FitStats st = bfgs_fit(fn, x, 200, 1e-2);
+    FitStats st = bfgs_fit(fn, x, 200, gtol);
     const double wall = (now_ms() - t0) / 1e3;
     std::printf(
         "{\"metric\": \"ref_fit_ctcrw_%s\", \"n\": %zu, "
@@ -286,7 +297,7 @@ int main(int argc, char** argv) {
                       std::exp(p[2]));
     };
     const double t0 = now_ms();
-    FitStats st = bfgs_fit(fn, x, 200, 1e-2);
+    FitStats st = bfgs_fit(fn, x, 200, gtol);
     const double wall = (now_ms() - t0) / 1e3;
     std::printf(
         "{\"metric\": \"ref_fit_cir_5b\", \"n\": %zu, "
