@@ -142,6 +142,21 @@ def guard_first_call(exp_fn, path: str, make_fn, fallback=None):
     return call
 
 
+def _export_backend_ok() -> bool:
+    """Whether the jax.export replay layer is safe on this backend.
+
+    TPU only (see `aot_cached` docstring). SMOOTHSDE_AOT_ANY_BACKEND=1
+    is a test hook that lets the unit tests exercise the export
+    round-trip machinery on CPU with trivial graphs; it is NOT safe
+    for real fits on CPU.
+    """
+    if os.environ.get("SMOOTHSDE_AOT_ANY_BACKEND"):
+        return True
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def aot_cached(name: str, token: str | None, make_fn, example_args,
                allow_export: bool = True):
     """Executable cache over Python tracing, not just XLA compilation.
@@ -167,11 +182,23 @@ def aot_cached(name: str, token: str | None, make_fn, example_args,
     computations MUST pass False: jax.export pins the exporting device
     assignment and the replayed call is only valid under an identical
     device context — the round-3 time-sharded-fit regression.
+
+    TPU-only, like `maybe_enable_default_cache`: replaying an XLA:CPU
+    executable serialized by an earlier process can crash the process
+    outright (observed 2026-08-21: SIGSEGV inside the reloaded
+    executable on the second warm-cache CPU run — jaxlib 0.9.0; same
+    loader-feature-mismatch class as the `cpu_aot_loader` SIGILL
+    documented below). A segfault cannot be caught in-process, so
+    `guard_first_call` cannot self-heal it and the on-disk blob would
+    permanently poison every later CPU process with the same token.
+    CPU tracing is cheap; the layer exists to amortize remote-TPU
+    compiles only.
     """
     import jax
 
     d = _aot_dir()
-    if d is None or token is None or not allow_export:
+    if (d is None or token is None or not allow_export
+            or not _export_backend_ok()):
         return jax.jit(make_fn())
     from jax import export as jexport
 
