@@ -61,7 +61,11 @@ def device_lbfgs(marginal, x0, b0, m: int = 10, maxiter: int = 200,
     n = x0.shape[0]
     dtype = x0.dtype
     if gtol_rel is None:
-        gtol_rel = 1e-3 if dtype == jnp.float32 else 1e-6
+        # f32: 1e-4, not 1e-3 — at |nllk| ~ 2000 the looser value quits
+        # with max|g| ~ 2 and leaves ~1 nllk unit on the table vs the
+        # host BFGS (VERDICT r4 weakness 3, tools/bench_configs.jsonl
+        # config 2: device 2228.179 vs scipy 2227.206)
+        gtol_rel = 1e-4 if dtype == jnp.float32 else 1e-6
 
     val_grad = jax.value_and_grad(marginal, has_aux=True)
 
@@ -87,6 +91,7 @@ def device_lbfgs(marginal, x0, b0, m: int = 10, maxiter: int = 200,
         k: jax.Array
         evals: jax.Array
         progress: jax.Array
+        stall: jax.Array  # consecutive no-progress iterations
 
     def gtol(f):
         return jnp.maximum(gtol_abs, gtol_rel * (1.0 + jnp.abs(f)))
@@ -223,18 +228,25 @@ def device_lbfgs(marginal, x0, b0, m: int = 10, maxiter: int = 200,
             ok_pair, st.rho.at[st.head].set(1.0 / sy), st.rho
         )
         head = jnp.where(ok_pair, (st.head + 1) % m, st.head)
+        eps_dec = 1e-12 if dtype == jnp.float64 else 1e-7
+        stalled = (st.f - f_new) <= eps_dec * (1.0 + jnp.abs(st.f))
+        # A single stalled iteration can be a bad two-loop direction,
+        # not the optimum: drop the curvature memory (the next step is
+        # scaled steepest descent) and only give up after a second
+        # consecutive stall.
+        rho = jnp.where(stalled, jnp.zeros_like(rho), rho)
         return State(
             x=x_new, f=f_new, g=g_new, b=b_new, S=S, Y=Y, rho=rho,
             head=head, k=st.k + 1, evals=st.evals + ls.tries,
             progress=st.f - f_new,
+            stall=jnp.where(stalled, st.stall + 1, 0),
         )
 
     def cond(st: State):
-        eps_dec = 1e-12 if dtype == jnp.float64 else 1e-7
         return (
             (st.k < maxiter)
             & (jnp.max(jnp.abs(st.g)) > gtol(st.f))
-            & (st.progress > eps_dec * (1.0 + jnp.abs(st.f)))
+            & (st.stall < 2)
         )
 
     f0, g0, b0_new = vg(x0, b0)
@@ -244,6 +256,7 @@ def device_lbfgs(marginal, x0, b0, m: int = 10, maxiter: int = 200,
         rho=jnp.zeros((m,), dtype), head=jnp.asarray(0),
         k=jnp.asarray(0), evals=jnp.asarray(1),
         progress=jnp.asarray(jnp.inf, dtype),
+        stall=jnp.asarray(0),
     )
     st = jax.lax.while_loop(cond, body, init)
     return LBFGSResult(

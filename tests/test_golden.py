@@ -20,8 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow  # every test here runs a full fit
-
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
@@ -43,6 +41,7 @@ def _build(name):
     return builders[name]()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", CONFIGS)
 def test_golden_fixture(name):
     path = os.path.join(GOLDEN_DIR, f"{name}.npz")
@@ -95,3 +94,71 @@ def test_golden_fixture(name):
     np.testing.assert_allclose(
         curve, fx["par_curve"], rtol=1e-9, atol=1e-12
     )
+
+
+def test_golden_values_quick():
+    """Quick-lane slice of the golden net (VERDICT r4 weakness 6: the
+    quick lane never exercised any golden check, so objective-assembly
+    drift could only be caught by the 30+ min full lane). Pins config1's
+    penalized joint nllk and the Laplace marginal value+gradient at the
+    frozen point — seconds, no fit."""
+    path = os.path.join(GOLDEN_DIR, "config1.npz")
+    assert os.path.exists(path)
+    fx = np.load(path)
+    sde = _build("config1")
+    bundle = sde.setup()
+    pk = bundle.packer
+    outer, inner = fx["outer"], fx["inner"]
+    full = pk.unpack(jnp.asarray(outer), jnp.asarray(inner))
+    joint = float(bundle.joint_nllk(full))
+    tol = 1e-8 * (1.0 + abs(float(fx["joint_nllk"])))
+    assert abs(joint - float(fx["joint_nllk"])) < tol
+
+    from smoothsde_tpu.infer.laplace import make_laplace
+
+    marginal = make_laplace(
+        bundle.joint_nllk, pk,
+        joint_nllk_ad=bundle.joint_nllk_ad,
+        hess_plan=bundle.hess_plan,
+    )
+    (mval, _), mgrad = jax.value_and_grad(marginal, has_aux=True)(
+        jnp.asarray(outer), jnp.asarray(pk.inner_init())
+    )
+    assert abs(float(mval) - float(fx["marginal_nllk"])) < (
+        1e-7 * (1.0 + abs(float(fx["marginal_nllk"])))
+    )
+    np.testing.assert_allclose(
+        np.asarray(mgrad), fx["marginal_grad"], rtol=1e-6, atol=1e-7
+    )
+
+
+def test_device_optimizer_micro_fit_quick():
+    """Quick-lane optimizer='device' micro-fit (VERDICT r4 weakness 6:
+    the device path had no non-slow coverage). Small closed-form BM
+    model; the device L-BFGS + terminal polish must reach the scipy
+    optimum and report convergence."""
+    from smoothsde_tpu import SDE
+
+    rng = np.random.default_rng(5)
+    n = 120
+    data = {
+        "ID": np.zeros(n, int),
+        "time": np.arange(n, dtype=float),
+        "y": np.cumsum(0.05 + 0.6 * rng.normal(size=n)),
+    }
+
+    def make():
+        return SDE(
+            formulas={"mu": "~1", "sigma": "~1"}, data=data,
+            type="BM", response="y", par0=[0.0, 1.0],
+        )
+
+    r_dev = make().fit(optimizer="device", compute_sdreport=False)
+    r_sp = make().fit(optimizer="scipy", compute_sdreport=False)
+    assert r_dev.convergence == 0, r_dev.message
+    assert r_dev.optimizer == "device"
+    # VERDICT r4 item 4 "done" bar: agree to <= 0.05 nllk
+    assert abs(r_dev.value - r_sp.value) <= 0.05, (
+        r_dev.value, r_sp.value,
+    )
+    np.testing.assert_allclose(r_dev.par, r_sp.par, atol=0.02)
