@@ -48,12 +48,26 @@ def _sharded_prefix_scan(
     identical, used to test gradients through the sharded composition
     on the CPU backend where reverse-mode AD through
     lax.associative_scan miscompiles, see ops/kalman.py).
+
+    Structure: THREE jit-level stages, with no collective inside any
+    differentiated shard_map body. An earlier single-shard_map version
+    all-gathered the chunk totals and composed the predecessor prefix
+    inside the same body; reverse-mode AD through that composition is
+    catastrophically slow on XLA:CPU SPMD (a 192-step val+grad ran
+    40 s vs 5 ms for the value — measured 2026-08-21, jaxlib 0.9.0,
+    8 host devices). Splitting the stages leaves the cross-chunk data
+    movement to GSPMD resharding of tiny (n_dev, s, s) arrays, which
+    AD transposes without pathology; per-eval communication volume is
+    unchanged (one gather of chunk totals, one scatter of prefixes).
     """
     n_dev = mesh.shape[axis]
     s = elems.A.shape[-1]
     dtype = elems.A.dtype
+    spec = P(axis)
+    especs = _Element(*([spec] * 5))
 
-    def local(elem_block: _Element) -> _Element:
+    # ---- stage 1: independent local scans; emit chunk totals ----
+    def local_scan_stage(elem_block: _Element):
         if local_scan == "sequential":
             def step(carry, x):
                 new = _combine(carry, x)
@@ -70,36 +84,40 @@ def _sharded_prefix_scan(
             scanned = jax.lax.associative_scan(
                 _combine, elem_block, axis=0
             )
-        total = jax.tree.map(lambda x: x[-1], scanned)
-        # all-gather each device's block total over ICI
-        totals = jax.tree.map(
-            lambda x: jax.lax.all_gather(x, axis), total
-        )  # leaves have leading dim n_dev
-        my = jax.lax.axis_index(axis)
-        prefix = _identity_element(s, dtype)
-        for k in range(n_dev - 1):
-            candidate = _combine(
-                prefix, jax.tree.map(lambda x: x[k], totals)
-            )
-            prefix = jax.tree.map(
-                lambda p, c: jnp.where(k < my, c, p), prefix, candidate
-            )
-        # fold the predecessor prefix into every local element
-        broadcast = jax.tree.map(
-            lambda x: jnp.broadcast_to(
-                x, scanned.A.shape[:1] + x.shape
-            ),
-            prefix,
-        )
-        return _combine(broadcast, scanned)
+        total = jax.tree.map(lambda x: x[-1:], scanned)  # (1, ...)
+        return scanned, total
 
-    spec = P(axis)
-    return shard_map(
-        local,
+    scanned, totals = shard_map(
+        local_scan_stage,
         mesh=mesh,
-        in_specs=(_Element(*([spec] * 5)),),
-        out_specs=_Element(*([spec] * 5)),
+        in_specs=(especs,),
+        out_specs=(especs, especs),
     )(elems)
+    # totals leaves are (n_dev, ...) global arrays: device k wrote row k
+
+    # ---- stage 2: exclusive prefix of the n_dev totals (global) ----
+    prefix = _identity_element(s, dtype)
+    rows = [prefix]
+    for k in range(n_dev - 1):
+        prefix = _combine(prefix, jax.tree.map(lambda x: x[k], totals))
+        rows.append(prefix)
+    pref = jax.tree.map(lambda *xs: jnp.stack(xs), *rows)  # (n_dev, ...)
+
+    # ---- stage 3: fold each chunk's predecessor prefix in ----
+    def fold_stage(pb: _Element, sc: _Element) -> _Element:
+        broadcast = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[0], sc.A.shape[:1] + x.shape[1:]),
+            pb,
+        )
+        return _combine(broadcast, sc)
+
+    return shard_map(
+        fold_stage,
+        mesh=mesh,
+        in_specs=(especs, especs),
+        out_specs=especs,
+        check_vma=False,
+    )(pref, scanned)
 
 
 def kalman_filter_time_sharded(
@@ -141,36 +159,52 @@ def soa_sharded_prefix_scan(
     from smoothsde_tpu.ops.kalman_soa import _scan_elements
 
     n_dev = int(mesh.shape[axis])
-
-    def local(elem_block):
-        scanned = _scan_elements(combine, identity, elem_block, local_scan)
-        total = jax.tree.map(lambda x: x[..., -1], scanned)
-        totals = jax.tree.map(
-            lambda x: jax.lax.all_gather(x, axis), total
-        )  # leaves gain a leading n_dev axis
-        my = jax.lax.axis_index(axis)
-        prefix = jax.tree.map(
-            lambda x, idl: jnp.broadcast_to(
-                jnp.asarray(idl, x.dtype), x.shape
-            ),
-            total,
-            identity,
-        )
-        for k in range(n_dev - 1):
-            cand = combine(
-                prefix, jax.tree.map(lambda x: x[k], totals)
-            )
-            prefix = jax.tree.map(
-                lambda p, c: jnp.where(k < my, c, p), prefix, cand
-            )
-        pb = jax.tree.map(lambda x: x[..., None], prefix)
-        return combine(pb, scanned)
-
     spec = P(None, axis)  # every leaf is (d, n) with n the scan axis
-    return shard_map(
-        local,
+    sc_specs = jax.tree.map(lambda _: spec, elems)
+    tot_specs = jax.tree.map(lambda _: P(axis), elems)
+
+    # Three jit-level stages with no collective inside any shard_map
+    # body — same restructuring (and same measured XLA:CPU reverse-AD
+    # pathology) as `_sharded_prefix_scan` above.
+
+    # ---- stage 1: independent local scans; emit chunk totals ----
+    def local_scan_stage(elem_block):
+        scanned = _scan_elements(combine, identity, elem_block, local_scan)
+        total = jax.tree.map(lambda x: x[..., -1][None], scanned)
+        return scanned, total
+
+    scanned, totals = shard_map(
+        local_scan_stage,
         mesh=mesh,
-        in_specs=(jax.tree.map(lambda _: spec, elems),),
-        out_specs=jax.tree.map(lambda _: spec, elems),
+        in_specs=(sc_specs,),
+        out_specs=(sc_specs, tot_specs),
         check_vma=False,
     )(elems)
+    # totals leaves are (n_dev, d...) global arrays: device k wrote row k
+
+    # ---- stage 2: exclusive prefix of the n_dev totals (global) ----
+    prefix = jax.tree.map(
+        lambda t, idl: jnp.broadcast_to(
+            jnp.asarray(idl, t.dtype), t.shape[1:]
+        ),
+        totals,
+        identity,
+    )
+    rows = [prefix]
+    for k in range(n_dev - 1):
+        prefix = combine(prefix, jax.tree.map(lambda x: x[k], totals))
+        rows.append(prefix)
+    pref = jax.tree.map(lambda *xs: jnp.stack(xs), *rows)  # (n_dev, d...)
+
+    # ---- stage 3: fold each chunk's predecessor prefix in ----
+    def fold_stage(pb, sc):
+        pb1 = jax.tree.map(lambda x: x[0][..., None], pb)
+        return combine(pb1, sc)
+
+    return shard_map(
+        fold_stage,
+        mesh=mesh,
+        in_specs=(tot_specs, sc_specs),
+        out_specs=sc_specs,
+        check_vma=False,
+    )(pref, scanned)
