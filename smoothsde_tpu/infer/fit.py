@@ -132,12 +132,27 @@ def fit_model(
     allow_export = not getattr(bundle, "uses_mesh", False)
     x0_ex = np.asarray(x0, dt_np)
     b0_ex = np.asarray(b_warm, dt_np)
-    val_grad = aot_cached(
-        "val_grad", token,
-        lambda: jax.value_and_grad(marginal, has_aux=True),
-        (x0_ex, b0_ex),
-        allow_export=allow_export,
-    )
+
+    # val_grad is built lazily: the device-optimizer path only needs it
+    # for the terminal polish / sdreport host fallback, and skipping
+    # the construction skips a multi-MB export-blob deserialization +
+    # persistent-cache executable load per process.
+    # (A closure-convert pass that hoisted the data constants into
+    # runtime arguments was tried here and measured useless: the 1M-row
+    # data arrays live inside sub-jaxprs of the custom_vjp kernels, so
+    # jax.closure_convert finds zero top-level consts while still
+    # paying a ~4 s abstract trace per fit.)
+    _vg_memo: dict = {}
+
+    def val_grad(x, b):
+        if "f" not in _vg_memo:
+            _vg_memo["f"] = aot_cached(
+                "val_grad", token,
+                lambda: jax.value_and_grad(marginal, has_aux=True),
+                (x0_ex, b0_ex),
+                allow_export=allow_export,
+            )
+        return _vg_memo["f"](x, b)
     if len(x0) == 0:
         # everything is integrated out (e.g. REML with no free
         # variance parameters): a single marginal evaluation is the fit
@@ -178,9 +193,39 @@ def fit_model(
         def run_fn(x, b):
             # returns a FLAT tuple: custom pytree nodes (LBFGSResult)
             # don't round-trip through jax.export serialization
-            r = device_lbfgs(marginal, x, b, maxiter=maxiter)
+            marg = marginal
+            r = device_lbfgs(marg, x, b, maxiter=maxiter)
+            # IN-GRAPH convergence probes, mirroring the scipy path's
+            # empirical stall tests below (same constants): at 1M steps
+            # the f32 gradient noise floor sits above any reachable
+            # gtol, so the loop can end "unconverged" at the true
+            # optimum. Probing inside the same dispatch (5 value-only
+            # evals, ~10 ms at 1M steps) lets the host bless the stall
+            # without loading the separate val_grad executable for a
+            # 2 s polish that moves nothing (measured, config 5b).
+            gnorm = jnp.linalg.norm(r.g)
+            u = r.g / jnp.maximum(gnorm, 1e-30)
+
+            def val_at(xp):
+                return marg(xp, r.b)[0]
+
+            hprobe = jnp.asarray(1e-2, r.x.dtype)
+            d_slope = (
+                val_at(r.x + hprobe * u) - val_at(r.x - hprobe * u)
+            ) / (2.0 * hprobe)
+            slope_ok = jnp.abs(d_slope) < 0.3 * gnorm
+            f32_g = r.x.dtype == jnp.float32
+            noise = (1e-5 if f32_g else 1e-10) * (1.0 + jnp.abs(r.f))
+            best = jnp.minimum(
+                jnp.minimum(
+                    val_at(r.x - 1e-3 * u), val_at(r.x - 1e-2 * u)
+                ),
+                val_at(r.x - 3e-2 * u),
+            )
+            descent_ok = (r.f - best) <= noise
+            probes = (slope_ok, descent_ok)
             if not fuse_fd:
-                return tuple(r)
+                return tuple(r) + probes
             # FD Hessian of the marginal at the optimum IN-GRAPH: the
             # whole fit + sdreport sweep is one executable and one
             # host<->device round trip (VERDICT r2 weakness 4 — the
@@ -197,7 +242,7 @@ def fit_model(
                 ]
             )
             G = jax.lax.map(
-                lambda xp: jax.value_and_grad(marginal, has_aux=True)(
+                lambda xp: jax.value_and_grad(marg, has_aux=True)(
                     xp, r.b
                 )[1],
                 pts,
@@ -207,7 +252,7 @@ def fit_model(
                 2.0 * (hs / 10.0)[:, None]
             )
             bad = ~jnp.all(jnp.isfinite(H1), axis=1, keepdims=True)
-            return tuple(r) + (jnp.where(bad, H2, H1),)
+            return tuple(r) + probes + (jnp.where(bad, H2, H1),)
 
         run_token = (
             None if token is None
@@ -229,21 +274,30 @@ def fit_model(
         systime = time.time() - t0
         n_fields = len(LBFGSResult._fields)
         r = LBFGSResult(*vals[:n_fields])
-        H_fd = vals[n_fields] if fuse_fd else None
+        slope_ok, descent_ok = (
+            bool(vals[n_fields]), bool(vals[n_fields + 1])
+        )
+        H_fd = vals[n_fields + 2] if fuse_fd else None
+        via = (
+            "optimizer" if bool(r.converged)
+            else "slope_probe" if slope_ok
+            else "descent_probe" if descent_ok
+            else "none"
+        )
         out = FitResult(
             par=np.asarray(r.x, float),
             par_names=packer.outer_names(),
             value=float(r.f),
-            convergence=int(not bool(r.converged)),
+            convergence=int(via == "none"),
             counts={
-                "function": int(r.n_evals),
+                "function": int(r.n_evals) + 5,  # + in-graph probes
                 "gradient": int(r.n_iter) + 1,
             },
             systime=systime,
             message=f"device L-BFGS: {int(r.n_iter)} iterations",
             bhat=np.asarray(r.b),
             inner_names=packer.inner_names(),
-            convergence_via="optimizer" if bool(r.converged) else "none",
+            convergence_via=via,
             optimizer="device",
         )
         # Terminal host polish: a few scipy BFGS iterations from the
@@ -251,7 +305,15 @@ def fit_model(
         # device loop can leave (VERDICT r4 weakness 3: config 2 device
         # 2228.179 vs scipy 2227.206). Near the optimum this costs a
         # handful of round trips; if it doesn't move the point the
-        # fused FD Hessian stays valid.
+        # fused FD Hessian stays valid. Only Laplace models (inner
+        # coefficients, where the device loop's warm-started inner
+        # solves can bias the line search) have ever shown the gap —
+        # pure-outer models match or beat the host optimum (configs
+        # 1/5a/5b, tools/bench_configs.jsonl), so for them the polish
+        # is skipped unless the device loop failed to converge: its
+        # fixed cost is a val_grad executable load + several tunnel
+        # round trips (~2.5 s measured on config 5a).
+        need_polish = packer.n_inner > 0 or via == "none"
         b_polish = np.asarray(r.b, dt_np)
 
         def _pol_eval(x):
@@ -260,31 +322,35 @@ def fit_model(
             v = float(v) if np.isfinite(v) else 1e10
             return v, np.where(np.isfinite(g), g, 0.0)
 
-        with timer.stage("device_polish"):
-            pol = optimize.minimize(
-                fun=lambda x: _pol_eval(x)[0],
-                x0=out.par,
-                jac=lambda x: _pol_eval(x)[1],
-                method="BFGS",
-                options={"maxiter": 25, "gtol": _gtol(out.value)},
-            )
-        out.counts["function"] += int(pol.nfev)
-        out.counts["gradient"] += int(getattr(pol, "njev", 0))
-        moved = float(pol.fun) < out.value - 1e-7 * (1.0 + abs(out.value))
-        if np.isfinite(pol.fun) and float(pol.fun) <= out.value:
-            if moved:
-                # re-solve the inner problem at the polished point so
-                # bhat matches par
-                (v_new, b_new), _ = val_grad(
-                    np.asarray(pol.x, dt_np), b_polish
+        if need_polish:
+            with timer.stage("device_polish"):
+                pol = optimize.minimize(
+                    fun=lambda x: _pol_eval(x)[0],
+                    x0=out.par,
+                    jac=lambda x: _pol_eval(x)[1],
+                    method="BFGS",
+                    options={"maxiter": 25, "gtol": _gtol(out.value)},
                 )
-                out.bhat = np.asarray(jax.device_get(b_new))
-                H_fd = None  # fused FD Hessian is stale at the new point
-            out.par = np.asarray(pol.x, float)
-            out.value = float(pol.fun)
-            if pol.success:
-                out.convergence = 0
-                out.convergence_via = "optimizer"
+            out.counts["function"] += int(pol.nfev)
+            out.counts["gradient"] += int(getattr(pol, "njev", 0))
+            moved = (
+                float(pol.fun) < out.value - 1e-7 * (1.0 + abs(out.value))
+            )
+            if np.isfinite(pol.fun) and float(pol.fun) <= out.value:
+                if moved:
+                    # re-solve the inner problem at the polished point
+                    # so bhat matches par
+                    (v_new, b_new), _ = val_grad(
+                        np.asarray(pol.x, dt_np), b_polish
+                    )
+                    out.bhat = np.asarray(jax.device_get(b_new))
+                    # fused FD Hessian is stale at the new point
+                    H_fd = None
+                out.par = np.asarray(pol.x, float)
+                out.value = float(pol.fun)
+                if pol.success:
+                    out.convergence = 0
+                    out.convergence_via = "optimizer"
         out.systime = time.time() - t0
         if compute_sdreport:
             _sdreport(

@@ -184,7 +184,22 @@ def build_objective(
 
     from smoothsde_tpu.utils.misc import device_float, device_int
 
-    fe_blocks = [device_float(X) for X in design.fe_blocks()]
+    # Constant-column FE blocks (intercept-only formulas, the most
+    # common case) collapse to a broadcast of a length-p dot product:
+    # embedding an (n, 1) all-ones matrix per parameter adds n*4 bytes
+    # of constants to every serialized/compiled executable — 20 MB of
+    # literal ones for a 1M-step CTCRW, a measurable slice of the
+    # per-process warm executable load through the remote tunnel.
+    fe_const_rows = [
+        np.asarray(X[0], float)
+        if X.shape[0] > 0 and np.all(np.ptp(X, axis=0) == 0)
+        else None
+        for X in design.fe_blocks()
+    ]
+    fe_blocks = [
+        None if fe_const_rows[j] is not None else device_float(X)
+        for j, X in enumerate(design.fe_blocks())
+    ]
     re_blocks = [device_float(X) for X in design.re_blocks()]
     ncol_fe = design.ncol_fe
     ncol_re_per_param = [X.shape[1] for X in design.re_blocks()]
@@ -356,7 +371,13 @@ def build_objective(
         cre = full["coeff_re"]
         cols = []
         for j in range(n_par):
-            lp = fe_blocks[j] @ cfe[fe_off[j] : fe_off[j + 1]]
+            cfe_j = cfe[fe_off[j] : fe_off[j + 1]]
+            if fe_const_rows[j] is not None:
+                lp = jnp.broadcast_to(
+                    jnp.asarray(fe_const_rows[j], cfe.dtype) @ cfe_j, (n,)
+                )
+            else:
+                lp = fe_blocks[j] @ cfe_j
             if ncol_re_per_param[j] > 0:
                 crej = cre[re_off[j] : re_off[j + 1]]
                 if gather_plans[j] is not None:

@@ -157,6 +157,17 @@ def _export_backend_ok() -> bool:
     return jax.default_backend() == "tpu"
 
 
+# Process-level memo over aot_cached: (name, token) -> callable. A
+# second fit of the same model in one process (multi-start, profile
+# sweeps, bootstrap-style refits — the reference's driver.R workflow)
+# otherwise rebuilds the jit wrapper and pays the multi-second
+# executable reload through the remote tunnel again (measured: 3.8 s
+# per fit on the 1M-step configs for a 55 ms dispatch). The token
+# embeds the package source digest and the model/data content, so a
+# stale hit is impossible within a process.
+_live: dict = {}
+
+
 def aot_cached(name: str, token: str | None, make_fn, example_args,
                allow_export: bool = True):
     """Executable cache over Python tracing, not just XLA compilation.
@@ -200,6 +211,9 @@ def aot_cached(name: str, token: str | None, make_fn, example_args,
     if (d is None or token is None or not allow_export
             or not _export_backend_ok()):
         return jax.jit(make_fn())
+    key = (name, token)
+    if key in _live:
+        return _live[key]
     from jax import export as jexport
 
     path = os.path.join(d, f"{name}-{token}.jaxexp")
@@ -207,7 +221,9 @@ def aot_cached(name: str, token: str | None, make_fn, example_args,
         try:
             with open(path, "rb") as f:
                 exp = jexport.deserialize(bytearray(f.read()))
-            return guard_first_call(jax.jit(exp.call), path, make_fn)
+            out = guard_first_call(jax.jit(exp.call), path, make_fn)
+            _live[key] = out
+            return out
         except Exception:
             try:
                 os.remove(path)  # stale/corrupt blob: rebuild below
@@ -226,8 +242,10 @@ def aot_cached(name: str, token: str | None, make_fn, example_args,
         # lands in the persistent cache for them); guarded so a call-time
         # failure un-persists the blob instead of poisoning every later
         # process with the same token
-        return guard_first_call(jax.jit(exp.call), path, make_fn,
-                                fallback=fn)
+        out = guard_first_call(jax.jit(exp.call), path, make_fn,
+                               fallback=fn)
+        _live[key] = out
+        return out
     except Exception:
         return fn
 

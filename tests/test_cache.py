@@ -300,3 +300,27 @@ def test_warm_cache_fit_survives_second_process(tmp_path):
         assert "warm-fit-ok" in proc.stdout, proc.stdout
         vals.append(float(proc.stdout.split("warm-fit-ok")[1].split()[0]))
     assert vals[0] == vals[1], f"cold/warm fits disagree: {vals}"
+
+
+def test_aot_in_process_memo(tmp_path, monkeypatch):
+    """Within one process, the same (name, token) must return the SAME
+    callable (no re-deserialization, no fresh jit wrapper): repeated
+    fits of one model otherwise re-pay the multi-second executable
+    reload through the remote tunnel for a ~50 ms dispatch."""
+    import smoothsde_tpu.utils.cache as cache
+
+    _aot_env(tmp_path, monkeypatch)
+    monkeypatch.setattr(cache, "_live", {})
+    x = np.arange(4.0)
+    f1 = aot_cached("memo", "tokM", lambda: (lambda a: a + 1.0), (x,))
+    np.testing.assert_allclose(np.asarray(f1(x)), x + 1)
+    f2 = aot_cached(
+        "memo", "tokM",
+        lambda: (_ for _ in ()).throw(AssertionError("must memo")),
+        (x,),
+    )
+    assert f2 is f1
+    # different token -> different callable
+    f3 = aot_cached("memo", "tokN", lambda: (lambda a: a - 1.0), (x,))
+    assert f3 is not f1
+    np.testing.assert_allclose(np.asarray(f3(x)), x - 1)
