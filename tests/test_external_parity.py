@@ -206,3 +206,171 @@ def test_ou_matches_reference_arithmetic():
         )
     want = -llk
     assert abs(got - want) < 1e-9 * (1.0 + abs(want)), (got, want)
+
+
+def _ref_ctcrw_nllk(obs, times, ids, mu, tau, nu, sigma_obs, P0):
+    """nllk_ctcrw.hpp:103-254 recomputed in numpy, mirroring the
+    reference recursion exactly: Durbin-Koopman form (the innovation at
+    row i uses the state advanced at the END of iteration i-1),
+    dtimes(i) = times(i+1) - times(i) (nllk_ctcrw.hpp:126-129), track
+    starts re-initialize aest = (x_1, 0, ...) / Pest = P0 with no
+    propagation into the first update (195-200), NaN rows predict only
+    (214-217), detF <= 0 guard (226-229), and NO 2*pi constant in the
+    update term (230-234). mu: (n, n_dim); tau/nu: (n,) natural scale."""
+    n, n_dim = obs.shape
+    s = 2 * n_dim
+    dtimes = np.concatenate([np.diff(times), [1.0]])
+    beta = 1.0 / tau
+    sigma = 2.0 * nu / np.sqrt(np.pi * tau)
+    Z = np.zeros((n_dim, s))
+    for d in range(n_dim):
+        Z[d, 2 * d] = 1.0
+    H = sigma_obs**2 * np.eye(n_dim)
+
+    def a0_row(i):
+        a = np.zeros(s)
+        for d in range(n_dim):
+            a[2 * d] = obs[i, d]
+        return a
+
+    def mk(b_, s_, dt_):
+        e = np.exp(-b_ * dt_)
+        e2 = np.exp(-2 * b_ * dt_)
+        T = np.zeros((s, s))
+        Q = np.zeros((s, s))
+        B = np.zeros((s, n_dim))
+        for d in range(n_dim):
+            T[2 * d, 2 * d] = 1
+            T[2 * d, 2 * d + 1] = (1 - e) / b_
+            T[2 * d + 1, 2 * d + 1] = e
+            Q[2 * d, 2 * d] = (s_ / b_) ** 2 * (
+                dt_ - 2 / b_ * (1 - e) + (1 - e2) / (2 * b_)
+            )
+            Q[2 * d, 2 * d + 1] = Q[2 * d + 1, 2 * d] = (
+                s_**2 / (2 * b_**2) * (1 - 2 * e + e2)
+            )
+            Q[2 * d + 1, 2 * d + 1] = s_**2 / (2 * b_) * (1 - e2)
+            B[2 * d, d] = dt_ - (1 - e) / b_
+            B[2 * d + 1, d] = 1 - e
+        return T, Q, B
+
+    aest = a0_row(0)
+    Pest = P0.copy()
+    llk = 0.0
+    for i in range(1, n):
+        if ids[i] != ids[i - 1]:
+            aest = a0_row(i)
+            Pest = P0.copy()
+        else:
+            T, Q, B = mk(beta[i], sigma[i], dtimes[i])
+            Bmu = B @ mu[i]
+            if np.isnan(obs[i, 0]):
+                aest = T @ aest + Bmu
+                Pest = T @ Pest @ T.T + Q
+            else:
+                u = obs[i] - Z @ aest
+                F = Z @ Pest @ Z.T + H
+                detF = np.linalg.det(F)
+                if detF <= 0:
+                    aest = T @ aest
+                    Pest = T @ Pest @ T.T + Q
+                else:
+                    Finv = np.linalg.inv(F)
+                    llk -= 0.5 * (np.log(detF) + u @ Finv @ u)
+                    K = T @ Pest @ Z.T @ Finv
+                    aest = T @ aest + K @ u + Bmu
+                    L = T - K @ Z
+                    Pest = T @ Pest @ L.T + Q
+    return -llk
+
+
+def test_ctcrw_matches_reference_recursion():
+    """Constant-parameter 2-D CTCRW, irregular times, two tracks, one
+    NaN row: our Kalman objective must equal the reference recursion
+    (including its 2*pi-free update term, which the objective accounts
+    for elsewhere as a data-independent constant) to f64 roundoff."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    n = 24
+    times = np.cumsum(rng.uniform(0.2, 1.5, n))
+    ids = np.array([0] * 12 + [1] * 12)
+    obs = np.cumsum(rng.normal(size=(n, 2)) * 0.5, axis=0)
+    obs[5] = np.nan
+    tau0, nu0, sobs = 2.5, 1.3, 0.2
+    mu = np.tile(np.array([0.1, -0.2]), (n, 1))
+    P0 = np.diag([1.0, 10.0, 1.0, 10.0])
+
+    ref = _ref_ctcrw_nllk(
+        obs, times, ids, mu, np.full(n, tau0), np.full(n, nu0), sobs, P0
+    )
+
+    sde = SDE(
+        data={"ID": ids, "time": times, "y1": obs[:, 0], "y2": obs[:, 1]},
+        type="CTCRW", response=["y1", "y2"],
+        par0=[0.1, -0.2, tau0, nu0],
+    )
+    b = sde.setup()
+    pk = b.packer
+    assert pk.outer_names()[0] == "log_sigma_obs"
+    x = np.array(
+        [np.log(sobs), 0.1, -0.2, np.log(tau0), np.log(nu0)]
+    )
+    full = pk.unpack(jnp.asarray(x), jnp.asarray(pk.inner_init()))
+    ours = float(b.joint_nllk(full))
+    assert abs(ours - ref) < 1e-10 * (1 + abs(ref)), (ours, ref)
+
+
+def test_ctcrw_re_smooth_matches_reference_recursion():
+    """CTCRW with a per-track random effect on tau: the linear
+    predictor (one-hot `re` design, R/sde.R:412-421) and the SSM-family
+    penalty (constant-free form, nllk_ctcrw.hpp:256-280:
+    -0.5*Sn*loglam + 0.5*lambda*c'Sc with S = I) recomputed externally
+    at fixed coefficients."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    n = 30
+    times = np.cumsum(rng.uniform(0.3, 1.0, n))
+    ids = np.array([0] * 10 + [1] * 10 + [2] * 10)
+    obs = np.cumsum(rng.normal(size=(n, 2)) * 0.4, axis=0)
+    tau_int, nu0, sobs = 2.0, 1.1, 0.15
+    c_re = np.array([0.3, -0.1, 0.25])
+    loglam = 0.4
+    mu = np.zeros((n, 2))
+    tau = np.exp(np.log(tau_int) + c_re[ids])
+    P0 = np.diag([1.0, 10.0, 1.0, 10.0])
+
+    ref = _ref_ctcrw_nllk(
+        obs, times, ids, mu, tau, np.full(n, nu0), sobs, P0
+    )
+    Sn = 3
+    ref += -0.5 * Sn * loglam + 0.5 * np.exp(loglam) * (c_re @ c_re)
+
+    sde = SDE(
+        formulas={
+            "mu1": "~1", "mu2": "~1",
+            "tau": "~s(ID, bs='re')", "nu": "~1",
+        },
+        data={"ID": ids, "time": times, "y1": obs[:, 0], "y2": obs[:, 1]},
+        type="CTCRW", response=["y1", "y2"],
+        par0=[0.0, 0.0, tau_int, nu0],
+    )
+    b = sde.setup()
+    pk = b.packer
+    outer_names = pk.outer_names()
+    x = np.zeros(len(outer_names))
+    for j, nm in enumerate(outer_names):
+        if nm == "log_sigma_obs":
+            x[j] = np.log(sobs)
+        elif nm == "log_lambda":
+            x[j] = loglam
+    fe = np.array([0.0, 0.0, np.log(tau_int), np.log(nu0)])
+    k = 0
+    for j, nm in enumerate(outer_names):
+        if nm == "coeff_fe":
+            x[j] = fe[k]
+            k += 1
+    full = pk.unpack(jnp.asarray(x), jnp.asarray(c_re))
+    ours = float(b.joint_nllk(full))
+    assert abs(ours - ref) < 1e-10 * (1 + abs(ref)), (ours, ref)
