@@ -33,10 +33,11 @@ def _multitrack_data(seed=0, K=6, Lk=37):
 
 
 CASES = [
-    (
+    pytest.param(
         "CTCRW", ["y1", "y2"],
         {"mu1": "~1", "mu2": "~1", "tau": "~s(x, k=5, bs='ts')", "nu": "~1"},
         [0.0, 0.0, 1.0, 1.0],
+        marks=pytest.mark.heavy,  # ~280 s: sharded Laplace-CTCRW compile
     ),
     (
         "BM", ["y1", "y2"],
@@ -299,6 +300,7 @@ class TestShardedLaplaceFit:
         sig_true = 0.5 + 0.8 * np.sin(np.pi * xg)
         assert np.max(np.abs(sig_hat - sig_true)) < 0.25, sig_hat
 
+    @pytest.mark.heavy  # ~280 s: Laplace through the time-sharded filter
     def test_fit_time_sharded_spline(self):
         # one long BM_SSM track, sigma(t) smooth, step axis sharded
         rng = np.random.default_rng(22)
@@ -330,6 +332,7 @@ class TestShardedLaplaceFit:
 
 class TestTimeShardedFusedKernels:
     @pytest.mark.slow
+    @pytest.mark.heavy  # ~150 s: interpret-mode fused chunk kernels
     def test_ctcrw_fused_time_sharded_parity(self, monkeypatch):
         """The time-sharded CTCRW path runs the fused-Pallas kernels
         per chunk with all-gathered chunk-total stitching

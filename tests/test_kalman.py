@@ -451,6 +451,7 @@ class TestFusedPallas:
                     np.asarray(b), rtol=0, atol=0,
                 )
 
+    @pytest.mark.heavy  # ~190 s interpret-mode
     def test_fused_value_and_grad(self, monkeypatch):
         import os
         monkeypatch.setenv("SMOOTHSDE_PALLAS_INTERPRET", "1")
@@ -484,6 +485,7 @@ class TestFusedPallas:
         assert np.isclose(float(v_f), float(v_s), rtol=1e-10)
         assert np.allclose(np.asarray(g_f), np.asarray(g_s), rtol=1e-8)
 
+    @pytest.mark.heavy  # ~180 s interpret-mode
     def test_fused_multiblock_value_and_grad(self, monkeypatch):
         """n > NB exercises the cross-block prefix/suffix seeding
         (L > 1) in both fused kernels."""
@@ -519,6 +521,7 @@ class TestFusedPallas:
         assert np.isclose(float(v_f), float(v_s), rtol=1e-10)
         assert np.allclose(np.asarray(g_f), np.asarray(g_s), rtol=1e-8)
 
+    @pytest.mark.heavy  # ~375 s interpret-mode
     def test_fused_dims_value_and_grad(self, monkeypatch):
         """Lane packing at d != 2 (d=1: NB=1024 exactly; d=3: lanes=3072,
         MID=24) against the sequential AD oracle."""

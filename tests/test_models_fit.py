@@ -27,6 +27,9 @@ class TestBMt:
         )
         res = sde.fit()
         assert res.convergence == 0
+        assert res.convergence_via in ("optimizer", "gtol"), (
+            res.convergence_via
+        )
         est = sde.par(t=0)[0]
         assert abs(est[0] - mu_t) < 0.2
         assert abs(est[1] - sigma_t) / sigma_t < 0.2
@@ -54,6 +57,9 @@ class TestCIR:
         )
         res = sde.fit()
         assert res.convergence == 0
+        assert res.convergence_via in ("optimizer", "gtol"), (
+            res.convergence_via
+        )
         est = sde.par(t=0)[0]
         assert abs(est[0] - mu_t) / mu_t < 0.2
         assert abs(est[1] - beta_t) / beta_t < 0.35
@@ -95,6 +101,9 @@ class TestCTCRW:
         )
         res = sde.fit()
         assert res.convergence == 0
+        assert res.convergence_via in ("optimizer", "gtol"), (
+            res.convergence_via
+        )
         est = sde.par(t=0)[0]
         assert abs(est[2] - tau_t) / tau_t < 0.35
         assert abs(est[3] - nu_t) / nu_t < 0.25
@@ -187,6 +196,9 @@ class TestSSM:
         sde = SDE(data=data, type="BM_SSM", response="z", par0=[0.0, 1.0])
         res = sde.fit()
         assert res.convergence == 0
+        assert res.convergence_via in ("optimizer", "gtol"), (
+            res.convergence_via
+        )
         est = sde.par(t=0)[0]
         assert abs(est[0] - mu_t) < 0.3
         assert abs(est[1] - sigma_t) / sigma_t < 0.3
@@ -228,6 +240,9 @@ class TestSSM:
         )
         res = sde.fit()
         assert res.convergence == 0
+        assert res.convergence_via in ("optimizer", "gtol"), (
+            res.convergence_via
+        )
         est = sde.par(t=0)[0]
         assert abs(est[0] - mu_t) < 0.3
         # filtered states track the latent process (REPORT(aest_all))
@@ -254,6 +269,9 @@ class TestSSM:
         res = sde.fit()
         assert "log_sigma_obs" not in res.par_names
         assert res.convergence == 0
+        assert res.convergence_via in ("optimizer", "gtol"), (
+            res.convergence_via
+        )
 
 
 def _eseal_sim(seed=6, n=400, mu_t=0.05, sigma_t=0.12, a1_t=-0.578,
@@ -296,6 +314,9 @@ class TestESEAL:
         res = sde.fit(map={"a1": [True], "log_a2": [True]},
                       compute_sdreport=False)
         assert res.convergence == 0
+        assert res.convergence_via in ("optimizer", "gtol"), (
+            res.convergence_via
+        )
         est = dict(zip(res.par_names, np.asarray(res.par)))
         pm = sde.par(t=0)[0]
         mu_hat, sigma_hat = pm[0], pm[1]
@@ -382,6 +403,9 @@ class TestDecaySplines:
         assert len(sde.other_data()["col_decay"]) == 4
         res = sde.fit()
         assert res.convergence == 0
+        assert res.convergence_via in ("optimizer", "gtol"), (
+            res.convergence_via
+        )
         assert "log_decay" in res.par_names
         rho = sde.rho()
         assert rho.shape == (1,)
@@ -450,6 +474,9 @@ class TestTensorSmoothFit:
         )
         res = sde.fit()
         assert res.convergence == 0
+        assert res.convergence_via in ("optimizer", "gtol"), (
+            res.convergence_via
+        )
         assert len(sde.lambda_()) == 2
         # fitted surface vs truth along x at fixed zc
         grid = {
@@ -510,6 +537,9 @@ class TestCTCRWPlateauRobustness:
         )
         res = sde.fit(compute_sdreport=False)
         assert res.convergence == 0
+        assert res.convergence_via in ("optimizer", "gtol"), (
+            res.convergence_via
+        )
         est = sde.par(t=0)[0]
         # the plateau failure mode gives tau in the thousands
         assert est[2] < 30.0, est
