@@ -17,6 +17,7 @@ conditional b|theta precision is the joint curvature J_bb.
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 import dataclasses
 import time
 from typing import List, Optional
@@ -496,6 +497,38 @@ def fit_model(
     return out
 
 
+@_contextlib.contextmanager
+def _no_persistent_cache():
+    """Disable the persistent XLA compile cache for the enclosed
+    compiles, really: `jax.config.update('jax_compilation_cache_dir',
+    None)` alone does NOT work mid-process — jax memoizes the
+    used-cache decision once per task (compilation_cache.is_cache_used)
+    and keeps serving the initialized cache object. reset_cache()
+    clears both memos; a second reset on exit lets later (TPU) compiles
+    re-initialize with the configured directory."""
+    import jax
+
+    prev = jax.config.jax_compilation_cache_dir
+    if not prev:
+        yield
+        return
+    try:
+        from jax._src import compilation_cache as _cc
+    except ImportError:  # private API moved: fail open (cache stays on)
+        yield
+        return
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+        _cc.reset_cache()
+        yield
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+        try:
+            _cc.reset_cache()
+        except Exception:
+            pass
+
+
 def _sdreport(out, bundle, packer, val_grad, fd_step, timer,
               marginal=None, mode: str = "auto", H_precomputed=None):
     """Outer Hessian + joint precision (sdreport equivalent,
@@ -644,18 +677,26 @@ def _sdreport(out, bundle, packer, val_grad, fd_step, timer,
             # One-shot diagnostic: compile and run it on the host CPU
             # backend — compiling a fresh second-order graph through a
             # remote-TPU dispatch path costs minutes for a computation
-            # that takes milliseconds.
+            # that takes milliseconds. The persistent compile cache
+            # (enabled process-wide on TPU) must NOT capture this CPU
+            # executable: XLA:CPU AOT cache entries record the compile
+            # machine's features and a later process can die with
+            # SIGILL reloading them (the exact cpu_aot_loader warning
+            # was observed on warm config-4 runs once this computation
+            # started hitting the cache) — same crash class that made
+            # the cache TPU-only in utils/cache.py.
             try:
                 cpu = jax.devices("cpu")[0]
             except RuntimeError:
                 cpu = None
             if cpu is not None:
-                with jax.default_device(cpu):
-                    J = np.asarray(
-                        jax.jit(jax.hessian(joint_vec))(
-                            jax.device_put(z_hat, cpu)
+                with _no_persistent_cache():
+                    with jax.default_device(cpu):
+                        J = np.asarray(
+                            jax.jit(jax.hessian(joint_vec))(
+                                jax.device_put(z_hat, cpu)
+                            )
                         )
-                    )
             else:
                 J = np.asarray(jax.hessian(joint_vec)(z_hat))
         J_tb = J[:n_out, n_out:]

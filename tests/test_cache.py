@@ -324,3 +324,29 @@ def test_aot_in_process_memo(tmp_path, monkeypatch):
     f3 = aot_cached("memo", "tokN", lambda: (lambda a: a - 1.0), (x,))
     assert f3 is not f1
     np.testing.assert_allclose(np.asarray(f3(x)), x - 1)
+
+
+def test_no_persistent_cache_context(tmp_path, monkeypatch):
+    """_no_persistent_cache must really gate the persistent cache for
+    the enclosed compiles (jax memoizes the used-cache decision per
+    task, so a bare config toggle does nothing) and restore it after.
+    Guards the sdreport joint-precision CPU compile: XLA:CPU AOT cache
+    entries can SIGILL on reload (cpu_aot_loader feature mismatch,
+    observed on warm config-4 TPU runs 2026-08-21)."""
+    monkeypatch.delenv("SMOOTHSDE_NO_COMPILE_CACHE", raising=False)
+    from smoothsde_tpu.infer.fit import _no_persistent_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    d = str(tmp_path / "xla")
+    try:
+        enable_compilation_cache(d, min_compile_time_secs=0.0)
+        with _no_persistent_cache():
+            assert jax.config.jax_compilation_cache_dir is None
+            # a compile inside must not write a cache entry
+            np.testing.assert_allclose(
+                np.asarray(jax.jit(lambda a: a * 2.0)(np.arange(3.0))),
+                np.arange(3.0) * 2,
+            )
+        assert jax.config.jax_compilation_cache_dir == d
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
