@@ -204,6 +204,11 @@ def fit_model(
             # evals, ~10 ms at 1M steps) lets the host bless the stall
             # without loading the separate val_grad executable for a
             # 2 s polish that moves nothing (measured, config 5b).
+            # They run for Laplace models too: the polish there can
+            # neither improve on nor bless a loop stalled at the true
+            # optimum (scipy stops with "precision loss"), so the probe
+            # verdict is what correctly labels convergence — gating
+            # them off flipped config 4 to converged=false (measured).
             gnorm = jnp.linalg.norm(r.g)
             u = r.g / jnp.maximum(gnorm, 1e-30)
 
