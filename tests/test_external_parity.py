@@ -374,3 +374,102 @@ def test_ctcrw_re_smooth_matches_reference_recursion():
     full = pk.unpack(jnp.asarray(x), jnp.asarray(c_re))
     ours = float(b.joint_nllk(full))
     assert abs(ours - ref) < 1e-10 * (1 + abs(ref)), (ours, ref)
+
+
+def _ref_diag_ssm_nllk(kind, obs, times, ids, mu, p1, p2, sigma_obs):
+    """nllk_bm_ssm.hpp:120-180 / nllk_ou_ssm.hpp:150-215 recomputed in
+    numpy with the reference's exact conventions (same DK-form skeleton
+    as `_ref_ctcrw_nllk`): a0 = first observation of each track
+    (R/sde.R:545-549), P0 = 10*I default (R/sde.R:552-555), dtimes(i) =
+    times(i+1)-times(i), NaN rows predict only, no 2*pi constant.
+
+    kind='BM_SSM':  T=I,              drift=mu(i)*dt,        Q=sigma(i)^2*dt*I
+                    (p1=sigma, p2 unused)
+    kind='OU_SSM':  T=e^{-dt/tau}I,   drift=(1-e^{-dt/tau})mu(i),
+                    Q=kappa(1-e^{-2dt/tau})I  (p1=tau, p2=kappa)
+    """
+    n, n_dim = obs.shape
+    dtimes = np.concatenate([np.diff(times), [1.0]])
+    H = sigma_obs**2 * np.eye(n_dim)
+    I = np.eye(n_dim)
+    aest = obs[0].copy()
+    Pest = 10.0 * I.copy()
+    llk = 0.0
+    for i in range(1, n):
+        if ids[i] != ids[i - 1]:
+            aest = obs[i].copy()
+            Pest = 10.0 * I.copy()
+        else:
+            dt = dtimes[i]
+            if kind == "BM_SSM":
+                T = I
+                drift = mu[i] * dt
+                Q = p1[i] ** 2 * dt * I
+            else:
+                e = np.exp(-dt / p1[i])
+                T = e * I
+                drift = (1 - e) * mu[i]
+                Q = p2[i] * (1 - np.exp(-2 * dt / p1[i])) * I
+            if np.isnan(obs[i, 0]):
+                aest = T @ aest + drift
+                Pest = T @ Pest @ T.T + Q
+            else:
+                u = obs[i] - aest
+                F = Pest + H
+                detF = np.linalg.det(F)
+                if detF <= 0:
+                    aest = T @ aest + drift
+                    Pest = T @ Pest @ T.T + Q
+                else:
+                    Finv = np.linalg.inv(F)
+                    llk -= 0.5 * (np.log(detF) + u @ Finv @ u)
+                    K = T @ Pest @ Finv
+                    aest = T @ aest + K @ u + drift
+                    L = T - K
+                    Pest = T @ Pest @ L.T + Q
+    return -llk
+
+
+@pytest.mark.parametrize("kind", ["BM_SSM", "OU_SSM"])
+def test_diag_ssm_matches_reference_recursion(kind):
+    """Constant-parameter 2-D BM_SSM / OU_SSM, irregular times, two
+    tracks, one NaN row: our objective equals the reference recursion
+    to f64 roundoff (up to the data-independent 2*pi constant the
+    objective accounts for separately)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(4)
+    n = 26
+    times = np.cumsum(rng.uniform(0.3, 1.2, n))
+    ids = np.array([0] * 13 + [1] * 13)
+    obs = np.cumsum(rng.normal(size=(n, 2)) * 0.6, axis=0)
+    obs[7] = np.nan
+    sobs = 0.25
+    mu = np.tile(np.array([0.15, -0.1]), (n, 1))
+    if kind == "BM_SSM":
+        sig0 = 0.9
+        par0 = [0.15, -0.1, sig0]
+        x_extra = [np.log(sig0)]
+        ref = _ref_diag_ssm_nllk(
+            kind, obs, times, ids, mu, np.full(n, sig0), None, sobs
+        )
+    else:
+        tau0, kap0 = 2.2, 1.4
+        par0 = [0.15, -0.1, tau0, kap0]
+        x_extra = [np.log(tau0), np.log(kap0)]
+        ref = _ref_diag_ssm_nllk(
+            kind, obs, times, ids, mu,
+            np.full(n, tau0), np.full(n, kap0), sobs,
+        )
+
+    sde = SDE(
+        data={"ID": ids, "time": times, "y1": obs[:, 0], "y2": obs[:, 1]},
+        type=kind, response=["y1", "y2"], par0=par0,
+    )
+    b = sde.setup()
+    pk = b.packer
+    assert pk.outer_names()[0] == "log_sigma_obs"
+    x = np.array([np.log(sobs), 0.15, -0.1] + x_extra)
+    full = pk.unpack(jnp.asarray(x), jnp.asarray(pk.inner_init()))
+    ours = float(b.joint_nllk(full))
+    assert abs(ours - ref) < 1e-10 * (1 + abs(ref)), (ours, ref)
