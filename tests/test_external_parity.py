@@ -473,3 +473,87 @@ def test_diag_ssm_matches_reference_recursion(kind):
     full = pk.unpack(jnp.asarray(x), jnp.asarray(pk.inner_init()))
     ours = float(b.joint_nllk(full))
     assert abs(ours - ref) < 1e-10 * (1 + abs(ref)), (ours, ref)
+
+
+def test_eseal_ssm_matches_reference_recursion():
+    """ESEAL_SSM: the reference's elephant-seal body-condition filter
+    (nllk_e_seal_ssm.hpp:83-216) recomputed in numpy — state
+    (intercept, lipid mass) with T=[[1,0],[mu dt,1]], Q=diag(0,
+    sigma^2 dt), obs row Z=(a1, a2/R_i), H=tau^2/h_i, a0=(1, dep_fat
+    per track) with P0=diag(0,10) (R/sde.R:599-614), shifted dtimes,
+    and the Schick et al. (2013) inverse-gamma priors on sigma(0)^2
+    and tau^2 (hpp:215-216, our default priors='schick2013')."""
+    import jax.numpy as jnp
+    from scipy.special import gammaln
+
+    rng = np.random.default_rng(9)
+    n = 28
+    times = np.cumsum(rng.uniform(0.5, 1.5, n))
+    ids = np.array([0] * 14 + [1] * 14)
+    h = rng.uniform(20.0, 60.0, n)
+    R = rng.uniform(150.0, 250.0, n)
+    dep0 = {0: 80.0, 1: 95.0}
+    dep_fat = np.array([dep0[i] for i in ids])
+    obs = (rng.normal(size=n) * 0.3 - 0.578 + 1.214 * 90.0 / R)
+    mu0, sig0, tau0, a1_0, a2_0 = 0.4, 1.1, 0.9, -0.578, 1.214
+
+    def dinvgamma_log(x, shape, scale):
+        return (shape * np.log(scale) - gammaln(shape)
+                - (shape + 1) * np.log(x) - scale / x)
+
+    # numpy filter, reference recursion
+    dtimes = np.concatenate([np.diff(times), [1.0]])
+    aest = np.array([1.0, dep0[0]])
+    Pest = np.diag([0.0, 10.0])
+    llk = 0.0
+    for i in range(1, n):
+        if ids[i] != ids[i - 1]:
+            aest = np.array([1.0, dep0[ids[i]]])
+            Pest = np.diag([0.0, 10.0])
+        else:
+            dt = dtimes[i]
+            T = np.array([[1.0, 0.0], [mu0 * dt, 1.0]])
+            Q = np.diag([0.0, sig0**2 * dt])
+            Z = np.array([[a1_0, a2_0 / R[i]]])
+            Hm = np.array([[tau0**2 / h[i]]])
+            if np.isnan(obs[i]):
+                aest = T @ aest
+                Pest = T @ Pest @ T.T + Q
+            else:
+                u = obs[i] - (Z @ aest)[0]
+                F = (Z @ Pest @ Z.T + Hm)[0, 0]
+                if F <= 0:
+                    aest = T @ aest
+                    Pest = T @ Pest @ T.T + Q
+                else:
+                    llk -= 0.5 * (np.log(F) + u * u / F)
+                    K = (T @ Pest @ Z.T) / F
+                    aest = T @ aest + K[:, 0] * u
+                    L = T - K @ Z
+                    Pest = T @ Pest @ L.T + Q
+    llk += dinvgamma_log(sig0**2, 10.0 * n, 4.0 * (10.0 * n - 1.0))
+    llk += dinvgamma_log(tau0**2, n / 2.0, n / 2.0 - 1.0)
+    ref = -llk
+
+    sde = SDE(
+        data={"ID": ids, "time": times, "y": obs},
+        type="ESEAL_SSM", response="y", par0=[mu0, sig0],
+        other_data={"h": h, "R": R, "dep_fat": dep_fat},
+    )
+    b = sde.setup()
+    pk = b.packer
+    names = pk.outer_names()
+    x = np.zeros(len(names))
+    fe = iter([mu0, np.log(sig0)])
+    for j, nm in enumerate(names):
+        if nm == "log_tau":
+            x[j] = np.log(tau0)
+        elif nm == "a1":
+            x[j] = a1_0
+        elif nm == "log_a2":
+            x[j] = np.log(a2_0)
+        elif nm == "coeff_fe":
+            x[j] = next(fe)
+    full = pk.unpack(jnp.asarray(x), jnp.asarray(pk.inner_init()))
+    ours = float(b.joint_nllk(full))
+    assert abs(ours - ref) < 1e-9 * (1 + abs(ref)), (ours, ref)
